@@ -90,7 +90,9 @@ class RenderConfig:
         return self.grid_x * self.grid_y
 
     def pair_capacity(self, num_faces: int) -> int:
-        cap = self.pair_capacity_factor * max(num_faces, 1)
+        # Low-poly scenes have large per-face footprints (a wall quad can
+        # span hundreds of cells), so keep a floor independent of F.
+        cap = max(self.pair_capacity_factor * max(num_faces, 1), 16384)
         # Round up to a tri_batch multiple so padded layouts reshape evenly.
         b = self.tri_batch
         return ((cap + b - 1) // b) * b

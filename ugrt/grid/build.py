@@ -1,0 +1,215 @@
+"""Grid construction as pure XLA ops — the CUDPP replacement.
+
+The reference builds its CSR grid with a count kernel, host z-reduction,
+cudppScan, a per-frame cudaMalloc sized by a device->host readback, a fill
+kernel, cudppSort and a histogram (FrustumGrid::buildGrid,
+/root/reference/frustum_grid.h:210-366).  That pipeline ping-pongs between
+host and device three times per frame (SURVEY.md §3.3) — poison for XLA.
+
+Here the whole build is one fused, statically-shaped jitted graph:
+
+  counts  — vmapped binning (ugrt.grid.binning)
+  z-range — on-device masked min/max (no host roundtrip)
+  expand  — searchsorted-based ragged expansion into a static-capacity
+            pair buffer (replaces DSFillkernel's nested scatter loops;
+            no scatter at all)
+  sort    — jax.lax.sort key-value (stable, like CUDPP radix sort)
+  CSR     — segment_sum histogram + exclusive cumsum
+
+Data-dependent totals are handled by capacity + masking with an overflow
+flag (recompile with a larger RenderConfig.pair_capacity_factor if set).
+
+One deliberate unification: the reference triplicates this pipeline
+(FrustumGrid::buildGrid, buildSphericalGrid, UniformGrid::buildGrid,
+uniform_grid.h:196-350); here a single implementation is parameterized by
+the binning projection (perspective / spherical / world-uniform).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ugrt.config import RenderConfig
+from ugrt.grid import binning
+
+
+class DeviceGrid(NamedTuple):
+    """CSR acceleration structure (mirrors d_span/d_offset/
+    d_triangle_value_list, frustum_grid.h:21-29) plus static capacity
+    bookkeeping."""
+
+    sorted_faces: jax.Array   # [capacity] int32, face id per pair, -1 pad
+    sorted_keys: jax.Array    # [capacity] int32 cell keys (sentinel pad)
+    cell_count: jax.Array     # [num_cells] int32
+    cell_offset: jax.Array    # [num_cells] int32 exclusive scan
+    total_pairs: jax.Array    # [] int32 (clamped to capacity)
+    overflow: jax.Array       # [] bool — true pair count exceeded capacity
+
+
+def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int):
+    """Ragged expand + stable sort + CSR from per-face cell ranges.
+
+    Pair keys replicate grid_kernel.cu:322:
+      key = ((gxmin+i) * grid_y + (gymin+j)) * num_slabs + gz
+    enumerated i-major, j-minor, faces ascending — so the stably sorted
+    value list matches CUDPP's radix-sorted output order exactly.
+    """
+    num_cells = cfg.num_cells
+    sentinel = num_cells  # sorts after every real cell key
+
+    counts = ranges["counts"].astype(jnp.int32)
+    size_y = (ranges["gymax"] - ranges["gymin"] + 1).astype(jnp.int32)
+
+    incl = jnp.cumsum(counts)
+    total = incl[-1]
+    offsets = incl - counts
+
+    p = jnp.arange(capacity, dtype=jnp.int32)
+    face = jnp.searchsorted(incl, p, side="right").astype(jnp.int32)
+    valid = p < total
+    face_c = jnp.clip(face, 0, counts.shape[0] - 1)
+
+    k = p - offsets[face_c]
+    sy = size_y[face_c]
+    i = k // sy
+    j = k - i * sy
+    key = (((ranges["gxmin"][face_c] + i) * cfg.grid_y
+            + (ranges["gymin"][face_c] + j)) * cfg.num_slabs
+           + gz[face_c]).astype(jnp.int32)
+
+    key = jnp.where(valid, key, sentinel)
+    val = jnp.where(valid, face_c, -1)
+
+    sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
+
+    ones = valid.astype(jnp.int32)
+    # histogram over sorted keys == histogram over unsorted keys
+    cell_count = jax.ops.segment_sum(
+        jnp.ones_like(sorted_key), sorted_key, num_segments=num_cells + 1,
+        indices_are_sorted=True)[:num_cells].astype(jnp.int32)
+    cell_offset = (jnp.cumsum(cell_count) - cell_count).astype(jnp.int32)
+
+    return DeviceGrid(
+        sorted_faces=sorted_val.astype(jnp.int32),
+        sorted_keys=sorted_key.astype(jnp.int32),
+        cell_count=cell_count,
+        cell_offset=cell_offset,
+        total_pairs=jnp.minimum(total, capacity).astype(jnp.int32),
+        overflow=total > capacity,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity"))
+def build_perspective_grid(vertices, faces, camcoords, *,
+                           cfg: RenderConfig, capacity: int) -> DeviceGrid:
+    """Perspective grid over camera clip space (buildGrid)."""
+    r = binning.perspective_face_ranges(
+        vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
+        xp=jnp)
+    z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
+    gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
+    return _expand_and_sort(r, gz, cfg, capacity)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "capacity"))
+def build_spherical_grid(vertices, faces, camcoords, *,
+                         cfg: RenderConfig, capacity: int,
+                         x_max: float | None = None,
+                         y_max: float | None = None) -> DeviceGrid:
+    """Spherical light-centric grid (buildSphericalGrid); angular extent
+    defaults to pi per main.cu:186-187."""
+    x_max = cfg.angular_extent if x_max is None else x_max
+    y_max = cfg.angular_extent if y_max is None else y_max
+    r = binning.spherical_face_ranges(
+        vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
+        x_max, y_max, cfg.quirks.y_forward_dot_typo, xp=jnp)
+    z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
+    gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
+    return _expand_and_sort(r, gz, cfg, capacity)
+
+
+def uniform_face_ranges(vertices, faces, aabb_min, aabb_max,
+                        grid_x, grid_y, grid_z, xp=jnp):
+    """World-space uniform grid binning for reflection rays.
+
+    The reference's UniformGrid (uniform_grid.h:11-59) was intended for
+    reflection rays (README.md:1) but its build reuses the perspective
+    DSKernel and is never instantiated (SURVEY.md §2).  This is the actual
+    world-space binning that intent requires: per-face AABB over the scene
+    AABB, cells keyed (gx * grid_y + gy) * grid_z + gz.
+    """
+    v = vertices[faces]                       # [F, 3, 3]
+    lo = xp.asarray(aabb_min, dtype=xp.float32)
+    hi = xp.asarray(aabb_max, dtype=xp.float32)
+    extent = hi - lo
+    dims = xp.asarray([grid_x, grid_y, grid_z], dtype=xp.float32)
+
+    fmin = (xp.min(v, axis=1) - lo) / extent * dims
+    fmax = (xp.max(v, axis=1) - lo) / extent * dims
+    gmin = xp.clip(xp.floor(fmin).astype(xp.int32), 0,
+                   xp.asarray([grid_x - 1, grid_y - 1, grid_z - 1]))
+    gmax = xp.clip(xp.floor(fmax).astype(xp.int32), 0,
+                   xp.asarray([grid_x - 1, grid_y - 1, grid_z - 1]))
+
+    counts = ((gmax[:, 0] - gmin[:, 0] + 1)
+              * (gmax[:, 1] - gmin[:, 1] + 1)
+              * (gmax[:, 2] - gmin[:, 2] + 1)).astype(xp.int32)
+    return dict(gmin=gmin, gmax=gmax, counts=counts)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_dims", "capacity"))
+def build_uniform_grid(vertices, faces, aabb_min, aabb_max, *,
+                       grid_dims: tuple[int, int, int],
+                       capacity: int) -> DeviceGrid:
+    """Uniform world-space grid build (3-D ragged expand + sort + CSR)."""
+    gx, gy, gz_dim = grid_dims
+    num_cells = gx * gy * gz_dim
+    r = uniform_face_ranges(vertices, faces, aabb_min, aabb_max,
+                            gx, gy, gz_dim, xp=jnp)
+
+    counts = r["counts"]
+    sx = r["gmax"][:, 0] - r["gmin"][:, 0] + 1
+    sy = r["gmax"][:, 1] - r["gmin"][:, 1] + 1
+    sz = r["gmax"][:, 2] - r["gmin"][:, 2] + 1
+
+    incl = jnp.cumsum(counts)
+    total = incl[-1]
+    offsets = incl - counts
+
+    p = jnp.arange(capacity, dtype=jnp.int32)
+    face = jnp.searchsorted(incl, p, side="right").astype(jnp.int32)
+    valid = p < total
+    face_c = jnp.clip(face, 0, counts.shape[0] - 1)
+
+    k = p - offsets[face_c]
+    syz = sy[face_c] * sz[face_c]
+    i = k // syz
+    rem = k - i * syz
+    j = rem // sz[face_c]
+    kk = rem - j * sz[face_c]
+    key = (((r["gmin"][face_c, 0] + i) * gy
+            + (r["gmin"][face_c, 1] + j)) * gz_dim
+           + (r["gmin"][face_c, 2] + kk)).astype(jnp.int32)
+
+    key = jnp.where(valid, key, num_cells)
+    val = jnp.where(valid, face_c, -1)
+    sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
+
+    cell_count = jax.ops.segment_sum(
+        jnp.ones_like(sorted_key), sorted_key, num_segments=num_cells + 1,
+        indices_are_sorted=True)[:num_cells].astype(jnp.int32)
+    cell_offset = (jnp.cumsum(cell_count) - cell_count).astype(jnp.int32)
+
+    return DeviceGrid(
+        sorted_faces=sorted_val.astype(jnp.int32),
+        sorted_keys=sorted_key.astype(jnp.int32),
+        cell_count=cell_count,
+        cell_offset=cell_offset,
+        total_pairs=jnp.minimum(total, capacity).astype(jnp.int32),
+        overflow=total > capacity,
+    )

@@ -283,91 +283,33 @@ def trace_shadow(scene, light_camcoords, light_grid: OracleGrid, primary,
     return shadowed
 
 
-def _shade_common(primary, shade_camcoords, light_position, primary_eye,
-                  scene, cfg: RenderConfig, drop_off):
-    """lambert_color_(drop_off_)pixel (shader_kernel.cu:46-128).
-
-    View-space transforms use only the 3x3 rotation of the modelview that
-    is current at shade time — in the reference frame loop that is the
-    LIGHT camera's modelview (fillCoordinatesData is last called for the
-    light, main.cu:170; shading runs after the light loop, main.cu:205).
-    """
-    from ugrt.core.vecmath import rotate_basis
-
-    f32 = np.float32
-    H, W = cfg.screen_height, cfg.screen_width
-    mv = shade_camcoords[16:32]
-
-    tri = primary["face_id"]
-    idx = np.where(tri >= 0, scene.mat_index[np.maximum(tri, 0)], -1)
-    valid = (idx >= 0) & (idx < scene.num_materials)
-
-    mats = scene.materials[np.maximum(idx, 0)]               # [H, W, 6]
-    if cfg.quirks.ka_from_kd:
-        ka = mats[..., 3:6]
-    else:
-        ka = mats[..., 0:3]
-    kd = mats[..., 3:6]
-
-    t = primary["t"][..., None]
-    point = primary_eye[None, None] + t * primary["ray_dir"]
-
-    light_view = rotate_basis(mv, np.asarray(light_position, dtype=f32))
-    point_view = rotate_basis(mv, point.astype(f32))
-    normal_view = normalize(rotate_basis(mv, primary["normal"].astype(f32)))
-
-    light_dir = normalize(point_view - light_view[None, None])
-    ambient = f32(0.5)
-
-    ndotl = dot(light_dir, normal_view)
-    if cfg.quirks.abs_n_dot_l:
-        ndotl = np.abs(ndotl)
-    diffuse = np.where(ndotl > 0, ndotl, f32(0.0))[..., None]
-
-    color = ka * ambient * drop_off + kd * diffuse * drop_off
-    color = np.clip(color, None, f32(1.0))
-    color = np.where(valid[..., None] & (primary["t"][..., None] > 0),
-                     color, f32(0.0))
-    return (color * f32(255.0)).astype(np.uint8)
-
-
 def shade_lambert(primary, shade_camcoords, light_position, primary_eye,
                   scene, cfg: RenderConfig):
-    """lambertian_shade (shader_kernel.cu:165-221)."""
-    return _shade_common(primary, shade_camcoords, light_position,
-                         primary_eye, scene, cfg, np.float32(1.0))
+    """lambertian_shade (shader_kernel.cu:165-221), u8 RGB."""
+    from ugrt.shade import shaders
+
+    c = shaders.lambert(primary, shade_camcoords, light_position,
+                        primary_eye, scene.mat_index, scene.materials, cfg,
+                        xp=np)
+    return shaders.to_u8(c, xp=np)
 
 
 def shade_spot(primary, shade_camcoords, light_position, primary_eye,
                scene, cfg: RenderConfig):
-    """spot_shade (shader_kernel.cu:275-345): spotlight drop-off 1.0 within
-    ±π/4 of the shade-camera axis (x via get_along_x, y via get_along_y
-    with the typo), else 0.25.  The spot axis 'light' is the shade-time
-    camcoords eye — the light camera's eye, not dd_light_position."""
-    f32 = np.float32
-    spot_eye = shade_camcoords[0:3]
-    t = primary["t"][..., None]
-    pts = (primary_eye[None, None] + t * primary["ray_dir"]).astype(f32)
-    d = normalize(pts - spot_eye[None, None])
+    """spot_shade (shader_kernel.cu:275-345), u8 RGB."""
+    from ugrt.shade import shaders
 
-    x = binning.x_angle(d, shade_camcoords, xp=np)
-    y = binning.y_angle(d, shade_camcoords, cfg.quirks.y_forward_dot_typo,
-                        xp=np)
-    right, _, _ = binning.mv_basis(shade_camcoords)
-    up = shade_camcoords[16:32][1::4][:3]
-    xs = np.where(dot(d, right[None, None]) > 0, x, -x)
-    ys = np.where(dot(d, up[None, None]) > 0, y, -y)
-
-    q = f32(np.pi / 4)
-    inside = (xs < q) & (xs > -q) & (ys < q) & (ys > -q)
-    drop = np.where(inside, f32(1.0), f32(0.25))[..., None]
-    return _shade_common(primary, shade_camcoords, light_position,
-                         primary_eye, scene, cfg, drop)
+    c = shaders.spotlight(primary, shade_camcoords, light_position,
+                          primary_eye, scene.mat_index, scene.materials,
+                          cfg, xp=np)
+    return shaders.to_u8(c, xp=np)
 
 
 def add_shadows(image_u8, shadowed):
     """shadow_kernel (shader_kernel.cu:347-359): u8 integer divide by 3."""
-    return np.where(shadowed[..., None] == 1, image_u8 // 3, image_u8)
+    from ugrt.shade import shaders
+
+    return shaders.add_shadows_u8(image_u8, shadowed, xp=np)
 
 
 def render_frame(scene, camera_spec: cam.CameraSpec,

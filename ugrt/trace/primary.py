@@ -1,0 +1,267 @@
+"""Primary-ray tracing over the perspective grid — XLA work-item design.
+
+The reference's rckernel_alpha (/root/reference/trace_kernel.cu:84-270)
+maps one CUDA block to one grid cell ≡ 8x8 pixel tile and streams the
+cell's triangle list through shared memory in 64-triangle batches.  CUDA's
+block scheduler load-balances the ragged cells; a TPU core runs grid steps
+itself, so the TPU-native formulation flattens the ragged CSR into dense
+*work items* first:
+
+    work item w = (cell c, triangle batch b)   — static capacity
+    t[w, ray, tri] = Möller–Trumbore            — dense [64 x B] VPU block
+    per-cell result = segment-min over w        — XLA segment_min
+
+Total compute is Σ_cells ceil(count/B)·64·B — the same arithmetic the GPU
+does, with no divergence and no atomics.  Work items are processed in
+fixed-size chunks via lax.map to bound live memory; the Pallas kernel in
+ugrt.trace.pallas_tracer implements the same contract fused.
+
+Semantics replicated exactly (quirks per RenderConfig.quirks):
+  * |t| acceptance (trace_kernel.cu:35) with strict-< update, i.e. min
+    with earliest-pair tie-break;
+  * per-slab sequential accept with the isWithin reprojection check
+    (trace_kernel.cu:56-82, :217-228) — a hit only counts if its MVP
+    z-bin equals the slab being processed (done==2), otherwise the ray
+    reports a miss;
+  * outputs t=-1 / face_id=-2 / normal=-1 on miss, component-wise |normal|
+    on hit (trace_kernel.cu:232-263).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ugrt.config import RenderConfig
+from ugrt.core import camera as cam
+from ugrt.core.vecmath import cross, dot, normalize, transform_point
+from ugrt.grid.build import DeviceGrid
+
+_BIG = jnp.float32(3.0e38)
+
+
+class WorkItems(NamedTuple):
+    """Dense (cell, batch) work list with static capacity."""
+
+    cell: jax.Array     # [Wcap] int32; num_cells for padding
+    offset: jax.Array   # [Wcap] int32 into sorted pair arrays
+    count: jax.Array    # [Wcap] int32 triangles in this batch (<= B)
+
+
+def work_capacity(cfg: RenderConfig, pair_capacity: int) -> int:
+    """Safe static bound: Σ ceil(count/B) <= num_cells + capacity/B."""
+    return cfg.num_cells + pair_capacity // cfg.tri_batch
+
+
+def make_work_items(grid: DeviceGrid, cfg: RenderConfig,
+                    wcap: int) -> WorkItems:
+    """Ragged CSR -> dense work items by searchsorted expansion."""
+    B = cfg.tri_batch
+    num_cells = cfg.num_cells
+    counts = grid.cell_count
+    nb = (counts + (B - 1)) // B
+    incl = jnp.cumsum(nb)
+
+    w = jnp.arange(wcap, dtype=jnp.int32)
+    cell = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
+    valid = w < incl[-1]
+    cell_c = jnp.clip(cell, 0, num_cells - 1)
+
+    b = w - (incl - nb)[cell_c]
+    offset = grid.cell_offset[cell_c] + b * B
+    count = jnp.clip(counts[cell_c] - b * B, 0, B)
+
+    return WorkItems(
+        cell=jnp.where(valid, cell_c, num_cells).astype(jnp.int32),
+        offset=jnp.where(valid, offset, 0).astype(jnp.int32),
+        count=jnp.where(valid, count, 0).astype(jnp.int32),
+    )
+
+
+def moller_trumbore_t(tvec, e1, e2, ray_d, cfg: RenderConfig,
+                      abs_t: bool | None = None):
+    """Batched intersectTriUV t-value (trace_kernel.cu:4-45).
+
+    tvec/e1/e2: [..., K, 3]; ray_d: [..., R, 3].  Returns t [..., R, K]
+    with 0 for rejects and |t| when the abs_t quirk is on.  Pass
+    ``abs_t=False`` for the shadow variant intersectTri
+    (light_kernel.cu:13-50), which keeps signed t.
+    """
+    if abs_t is None:
+        abs_t = cfg.quirks.abs_t
+    pvec = cross(ray_d[..., :, None, :], e2[..., None, :, :], xp=jnp)
+    det = dot(e1[..., None, :, :], pvec)
+    inv_det = 1.0 / det
+    u = dot(tvec[..., None, :, :], pvec) * inv_det
+    qvec = cross(tvec[..., None, :, :], e1[..., None, :, :], xp=jnp)
+    v = dot(ray_d[..., :, None, :], qvec) * inv_det
+    t = dot(e2[..., None, :, :], qvec) * inv_det
+    if abs_t:
+        t = jnp.abs(t)
+    reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
+              | (u < 0) | (u > 1) | (v < 0) | (u + v > 1))
+    return jnp.where(reject, jnp.float32(0.0), t)
+
+
+def tile_rays(dirs, cfg: RenderConfig):
+    """[H, W, 3] -> [tiles, tile_y*tile_x, 3], tile index = bx*tiles_y+by.
+
+    Matches the pixel/block mapping of trace_kernel.cu:91,138: block
+    (bx,by) covers rows by*8..+8, cols bx*8..+8; in-tile ray index is
+    ty*8+tx; cell index is bx*gridDim.y+by (x-major).
+    """
+    ty, tx = cfg.tile_y, cfg.tile_x
+    tiles_y = cfg.screen_height // ty
+    tiles_x = cfg.screen_width // tx
+    d = dirs.reshape(tiles_y, ty, tiles_x, tx, 3)
+    d = jnp.transpose(d, (2, 0, 1, 3, 4))  # [tiles_x, tiles_y, ty, tx, 3]
+    return d.reshape(tiles_x * tiles_y, ty * tx, 3)
+
+
+def untile(img_tiled, cfg: RenderConfig):
+    """[tiles, tile_y*tile_x, ...] -> [H, W, ...] (inverse of tile_rays)."""
+    ty, tx = cfg.tile_y, cfg.tile_x
+    tiles_y = cfg.screen_height // ty
+    tiles_x = cfg.screen_width // tx
+    trailing = img_tiled.shape[2:]
+    d = img_tiled.reshape(tiles_x, tiles_y, ty, tx, *trailing)
+    d = jnp.transpose(d, (1, 2, 0, 3) + tuple(range(4, 4 + len(trailing))))
+    return d.reshape(cfg.screen_height, cfg.screen_width, *trailing)
+
+
+def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
+                    cfg: RenderConfig, chunk_size: int):
+    """Per-work-item (min t, winner pair index) over rays, chunked.
+
+    ray_blocks: [Wcap, R, 3] ray directions for each work item's tile.
+    Returns tmin [Wcap, R], pair index [Wcap, R] (offset into sorted
+    arrays; only meaningful where tmin finite).
+    """
+    B = cfg.tri_batch
+    lane = jnp.arange(B, dtype=jnp.int32)
+
+    def chunk_fn(args):
+        offset, count, rays = args          # [C], [C], [C, R, 3]
+        idx = offset[:, None] + lane[None, :]
+        idx = jnp.clip(idx, 0, grid.sorted_faces.shape[0] - 1)
+        fidx = jnp.clip(grid.sorted_faces[idx], 0,
+                        faces.shape[0] - 1)     # [C, B]
+        v = vertices[faces[fidx]]               # [C, B, 3, 3]
+        v0 = v[:, :, 0]
+        e1 = v[:, :, 1] - v0
+        e2 = v[:, :, 2] - v0
+        tvec = eye[None, None, :] - v0
+
+        t = moller_trumbore_t(tvec, e1, e2, rays, cfg)   # [C, R, B]
+        live = (lane[None, :] < count[:, None])[:, None, :]
+        t = jnp.where(live & (t > 0), t, _BIG)
+        k = jnp.argmin(t, axis=-1)                        # first min
+        tmin = jnp.min(t, axis=-1)
+        pair = offset[:, None] + k.astype(jnp.int32)
+        return tmin, pair
+
+    wcap = work.cell.shape[0]
+    n_chunks = -(-wcap // chunk_size)
+    pad = n_chunks * chunk_size - wcap
+
+    def pad0(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    xs = (pad0(work.offset).reshape(n_chunks, chunk_size),
+          pad0(work.count).reshape(n_chunks, chunk_size),
+          pad0(ray_blocks).reshape(n_chunks, chunk_size,
+                                   *ray_blocks.shape[1:]))
+    tmin, pair = jax.lax.map(chunk_fn, xs)
+    R = ray_blocks.shape[1]
+    return (tmin.reshape(-1, R)[:wcap], pair.reshape(-1, R)[:wcap])
+
+
+def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
+                  cfg: RenderConfig, *, chunk_size: int = 256):
+    """Full primary trace.  Returns per-pixel dict:
+    t [H,W], face_id [H,W] int32, normal [H,W,3], ray_dir [H,W,3]."""
+    H, W = cfg.screen_height, cfg.screen_width
+    assert W // cfg.tile_x == cfg.grid_x and H // cfg.tile_y == cfg.grid_y, (
+        "screen tiles must match grid dims (reference couples them, "
+        "main.cu.h:10-28)")
+
+    eye = camcoords[0:3]
+    dirs = cam.primary_ray_dirs(camcoords, W, H, xp=jnp)
+    rays_t = tile_rays(dirs, cfg)                        # [T, R, 3]
+    R = rays_t.shape[1]
+    num_tiles = rays_t.shape[0]
+    NS = cfg.num_slabs
+
+    wcap = work_capacity(cfg, grid.sorted_faces.shape[0])
+    work = make_work_items(grid, cfg, wcap)
+
+    tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
+    ray_blocks = rays_t[tile_of_work]                    # [Wcap, R, 3]
+
+    tmin_w, pair_w = _work_chunk_min(
+        vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
+
+    # Segment-min over work items -> per (cell) candidates.
+    seg = work.cell
+    t_cell = jax.ops.segment_min(tmin_w, seg,
+                                 num_segments=cfg.num_cells + 1)
+    cand = jnp.where(tmin_w == t_cell[seg], pair_w, jnp.int32(2**31 - 1))
+    win_cell = jax.ops.segment_min(cand, seg,
+                                   num_segments=cfg.num_cells + 1)
+
+    t_cell = t_cell[:cfg.num_cells].reshape(num_tiles, NS, R)
+    win_cell = win_cell[:cfg.num_cells].reshape(num_tiles, NS, R)
+
+    # Sequential slab scan with the isWithin(done) state machine.
+    mvp = camcoords[48:64]
+
+    def slab_step(carry, xs):
+        oldt, win, done = carry
+        m, wk, slab = xs
+        upd = (done != 2) & (m < oldt)
+        oldt = jnp.where(upd, m, oldt)
+        win = jnp.where(upd, wk, win)
+        done = jnp.where(upd, 1, done)
+
+        # isWithin reprojection (trace_kernel.cu:56-82)
+        pt = eye[None, None, :] + oldt[..., None] * rays_t
+        ndc = transform_point(mvp, pt, xp=jnp)
+        zbin = jnp.floor(ndc[..., 2] * NS)
+        done = jnp.where((done == 1) & (zbin == slab), 2, done)
+        return (oldt, win, done), None
+
+    oldt0 = jnp.full((num_tiles, R), jnp.float32(99999999.9))
+    win0 = jnp.full((num_tiles, R), -1, dtype=jnp.int32)
+    done0 = jnp.zeros((num_tiles, R), dtype=jnp.int32)
+    slabs = jnp.arange(NS, dtype=jnp.float32)
+    (oldt, win, done), _ = jax.lax.scan(
+        slab_step, (oldt0, win0, done0),
+        (jnp.moveaxis(t_cell, 1, 0), jnp.moveaxis(win_cell, 1, 0), slabs))
+
+    ok = done == 2
+    face_id = jnp.where(
+        ok, grid.sorted_faces[jnp.clip(win, 0, None)], -2).astype(jnp.int32)
+
+    v = vertices[faces[jnp.clip(face_id, 0, None)]]      # [T, R, 3, 3]
+    e1 = normalize(v[..., 1, :] - v[..., 0, :], xp=jnp)
+    e2 = normalize(v[..., 2, :] - v[..., 0, :], xp=jnp)
+    nrm = normalize(cross(e1, e2, xp=jnp), xp=jnp)
+    if cfg.quirks.abs_normal:
+        nrm = jnp.abs(nrm)
+    nrm = jnp.where(ok[..., None], nrm, jnp.float32(-1.0))
+
+    t_out = jnp.where(ok, oldt, jnp.float32(-1.0))
+
+    return dict(
+        t=untile(t_out, cfg),
+        face_id=untile(face_id, cfg),
+        normal=untile(nrm, cfg),
+        ray_dir=dirs,
+    )
+
+
+trace_primary_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "chunk_size"))(trace_primary)
