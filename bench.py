@@ -1,0 +1,97 @@
+"""Flagship benchmark: rays/s/chip forward+backward.
+
+Workload = BASELINE config 3 at reference scale: sibenik-scale procedural
+cathedral (~75k triangles), 1024x1024 primary rays over a 128x128
+perspective grid, one light (spherical-grid shadow pass), spot shading —
+plus the full backward pass (gradients w.r.t. vertices and materials),
+which the reference does not have.  Metric: primary rays per second for
+one forward+backward frame step, per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
+measured against a fixed nominal target of 1e8 rays/s/chip fwd+bwd.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+NOMINAL_BASELINE = 1.0e8  # rays/s/chip fwd+bwd (self-set target)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ugrt.config import RenderConfig
+    from ugrt.core import camera as cam
+    from ugrt.diff import render_grad
+    from ugrt.scene import procedural
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        # CPU fallback for local smoke runs: shrink the workload.
+        cfg = dataclasses.replace(RenderConfig(), screen_width=256,
+                                  screen_height=256, grid_x=32, grid_y=32)
+        tri_target = 8000
+        iters = 2
+    else:
+        cfg = RenderConfig()
+        tri_target = 75000
+        iters = 5
+
+    scene = procedural.cathedral(num_faces_target=tri_target)
+    spec = cam.CameraSpec(eye=(3.0, 15.0, 5.0), look_at=(13.0, 13.0, 3.0),
+                          up=(0.0, 0.0, 1.0), near=0.1, far=100.0)
+    light = cam.CameraSpec(eye=(14.0, 13.0, 8.0),
+                           look_at=(14.0, 13.0, 0.0),
+                           up=(0.0, 1.0, 0.0), near=0.1, far=100.0)
+    aspect = cfg.screen_width / cfg.screen_height
+    cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, aspect))
+    lcc = jnp.asarray(
+        cam.camcoords_from_spec(light, cfg.fovy_deg, aspect))[None]
+    lp = jnp.asarray(np.asarray(light.eye, dtype=np.float32))
+    cap = cfg.pair_capacity(scene.num_faces)
+
+    verts = jnp.asarray(scene.vertices)
+    mats = jnp.asarray(scene.materials)
+    faces = jnp.asarray(scene.faces)
+    mat_index = jnp.asarray(scene.mat_index)
+    target = jnp.zeros((cfg.screen_height, cfg.screen_width, 3),
+                       dtype=jnp.float32)
+
+    chunk = 1024 if backend == "tpu" else 256
+
+    def step(v, m):
+        out = render_grad.render_and_grad(
+            v, m, faces, mat_index, cc, lcc, lp, target, cfg=cfg,
+            capacity=cap, num_lights=1, use_spot=True, chunk_size=chunk)
+        return out["loss"], out["grad_vertices"], out["grad_materials"]
+
+    # Warmup / compile.
+    out = step(verts, mats)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(verts, mats)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays = cfg.image_size
+    rays_per_s = rays / dt
+    print(json.dumps({
+        "metric": "primary_rays_per_s_fwd_bwd",
+        "value": rays_per_s,
+        "unit": f"rays/s/chip ({cfg.screen_width}x{cfg.screen_height}, "
+                f"{scene.num_faces} tris, {backend})",
+        "vs_baseline": rays_per_s / NOMINAL_BASELINE,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Differentiable rendering: gradients w.r.t. vertices and materials.
+
+The reverse-mode path the reference lacks (BASELINE.json north star).
+Structure (see ugrt.trace.refine for the rationale):
+
+    stop_grad(vertices) ─→ grid build ─→ combinatorial trace ─→ face ids
+    vertices ───────────────────────────→ differentiable refinement ─┐
+    materials ──────────────────────────→ shading ───────────────────┴→ color
+
+The shadow mask is binary (piecewise constant) and stop-gradded; shadow
+darkening uses the float /3 variant so its scaling still modulates
+material/vertex gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ugrt.config import RenderConfig
+from ugrt.grid import build as gbuild
+from ugrt.shade import shaders
+from ugrt.trace import primary as tprimary
+from ugrt.trace import refine as trefine
+from ugrt.trace import shadow as tshadow
+
+
+def render_color(vertices, materials, faces, mat_index, camcoords,
+                 light_camcoords, light_position, *, cfg: RenderConfig,
+                 capacity: int, num_lights: int, use_spot: bool,
+                 chunk_size: int = 256):
+    """Float RGB [H, W, 3] image, differentiable w.r.t. vertices and
+    materials.  Matches the u8 reference image up to quantization."""
+    vsg = jax.lax.stop_gradient(vertices)
+
+    grid = gbuild.build_perspective_grid(
+        vsg, faces, camcoords, cfg=cfg, capacity=capacity)
+    raw = tprimary.trace_primary(vsg, faces, camcoords, grid, cfg,
+                                 chunk_size=chunk_size)
+
+    eye = camcoords[0:3]
+    H, W = cfg.screen_height, cfg.screen_width
+    shadowed = jnp.zeros((H, W), dtype=jnp.int32)
+    shade_cc = camcoords
+    for li in range(num_lights):
+        lcc = light_camcoords[li]
+        lgrid = gbuild.build_spherical_grid(
+            vsg, faces, lcc, cfg=cfg, capacity=capacity)
+        sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye, cfg,
+                                     chunk_size=chunk_size)
+        shadowed = jnp.maximum(shadowed, sh)
+        shade_cc = lcc
+    shadowed = jax.lax.stop_gradient(shadowed)
+
+    refined = trefine.refine_primary(vertices, faces, camcoords, raw, cfg)
+
+    if use_spot:
+        color = shaders.spotlight(refined, shade_cc, light_position, eye,
+                                  mat_index, materials, cfg, xp=jnp)
+    else:
+        color = shaders.lambert(refined, shade_cc, light_position, eye,
+                                mat_index, materials, cfg, xp=jnp)
+    return shaders.add_shadows_f32(color, shadowed, xp=jnp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "num_lights", "use_spot",
+                     "chunk_size"))
+def render_and_grad(vertices, materials, faces, mat_index, camcoords,
+                    light_camcoords, light_position, target, *,
+                    cfg: RenderConfig, capacity: int, num_lights: int,
+                    use_spot: bool, chunk_size: int = 256):
+    """Image + MSE-to-target loss + gradients w.r.t. (vertices, materials).
+
+    The canonical inverse-rendering step: everything (grid rebuild, trace,
+    shadow, shade, backward) is one XLA graph.
+    """
+
+    def loss_fn(verts, mats):
+        color = render_color(
+            verts, mats, faces, mat_index, camcoords, light_camcoords,
+            light_position, cfg=cfg, capacity=capacity,
+            num_lights=num_lights, use_spot=use_spot,
+            chunk_size=chunk_size)
+        return jnp.mean((color - target) ** 2), color
+
+    (loss, color), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(vertices, materials)
+    return dict(loss=loss, color=color, grad_vertices=grads[0],
+                grad_materials=grads[1])

@@ -1,0 +1,147 @@
+"""Multi-chip sharding: shard_map over a ray/tile mesh axis.
+
+The reference is single-GPU, single-process (SURVEY.md §2 parallelism
+inventory); the distributed axis is a new design per BASELINE.json:
+"shard rays/tiles ... across a multi-host v5p pod slice, all-reducing
+scene-parameter gradients".
+
+Design:
+  * mesh axis "rays" shards the image along tile COLUMNS (bx) — cell ids
+    are x-major (bx * grid_y + by, grid_kernel.cu:322), so each device
+    owns a contiguous cell range and a contiguous image strip;
+  * the scene (vertices/faces/materials) is replicated; each device
+    builds the (identical) grid locally — grid build is O(F + P log P),
+    a few percent of trace cost, and replicating it avoids an all-gather
+    of CSR arrays over ICI;
+  * forward is embarrassingly parallel over strips; gradients of the
+    replicated scene parameters are combined with one psum over ICI
+    (overlappable with backward compute by XLA's async collectives).
+
+Multi-host: call jax.distributed.initialize() before building the mesh;
+everything below is host-count agnostic (jax.devices() spans the slice).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ugrt.config import RenderConfig
+from ugrt.diff import render_grad
+from ugrt.grid import build as gbuild
+from ugrt.shade import shaders
+from ugrt.trace import primary as tprimary
+from ugrt.trace import refine as trefine
+from ugrt.trace import shadow as tshadow
+
+
+def make_mesh(devices=None, axis_name: str = "rays") -> Mesh:
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _strip_color(vertices, materials, faces, mat_index, camcoords,
+                 light_camcoords, light_position, *, cfg: RenderConfig,
+                 capacity: int, num_lights: int, use_spot: bool,
+                 n_bx: int, axis_name: str, chunk_size: int):
+    """Per-device body: render this device's tile-column strip,
+    differentiable in (vertices, materials)."""
+    d = jax.lax.axis_index(axis_name)
+    bx0 = d * n_bx
+    vsg = jax.lax.stop_gradient(vertices)
+
+    grid = gbuild.build_perspective_grid(
+        vsg, faces, camcoords, cfg=cfg, capacity=capacity)
+    raw = tprimary.trace_primary(vsg, faces, camcoords, grid, cfg,
+                                 chunk_size=chunk_size, bx0=bx0, n_bx=n_bx)
+
+    eye = camcoords[0:3]
+    shadowed = jnp.zeros(raw["t"].shape, dtype=jnp.int32)
+    shade_cc = camcoords
+    for li in range(num_lights):
+        lcc = light_camcoords[li]
+        lgrid = gbuild.build_spherical_grid(
+            vsg, faces, lcc, cfg=cfg, capacity=capacity)
+        sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
+                                     cfg, chunk_size=chunk_size)
+        shadowed = jnp.maximum(shadowed, sh)
+        shade_cc = lcc
+    shadowed = jax.lax.stop_gradient(shadowed)
+
+    refined = trefine.refine_primary(vertices, faces, camcoords, raw, cfg)
+    shader = shaders.spotlight if use_spot else shaders.lambert
+    color = shader(refined, shade_cc, light_position, eye, mat_index,
+                   materials, cfg, xp=jnp)
+    return shaders.add_shadows_f32(color, shadowed, xp=jnp)
+
+
+def sharded_render(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
+                   num_lights: int, use_spot: bool,
+                   chunk_size: int = 256):
+    """Returns a jitted function rendering the full image across the mesh.
+
+    Output image [H, W, 3] float32 is sharded along W (tile columns).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert cfg.grid_x % ndev == 0, "grid_x must divide across devices"
+    n_bx = cfg.grid_x // ndev
+
+    body = functools.partial(
+        _strip_color, cfg=cfg, capacity=capacity, num_lights=num_lights,
+        use_spot=use_spot, n_bx=n_bx, axis_name=axis,
+        chunk_size=chunk_size)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(None, axis, None))
+    return jax.jit(fn)
+
+
+def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
+                       num_lights: int, use_spot: bool,
+                       chunk_size: int = 256):
+    """Returns a jitted step: (verts, mats, ..., target) ->
+    (loss, grad_verts, grad_mats) with gradients all-reduced (psum) over
+    the mesh — BASELINE's gradient all-reduce over ICI.
+
+    target: full [H, W, 3] image (sharded along W like the render).
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert cfg.grid_x % ndev == 0
+    n_bx = cfg.grid_x // ndev
+
+    def per_device(vertices, materials, faces, mat_index, camcoords,
+                   light_camcoords, light_position, target_strip):
+        def loss_fn(v, m):
+            color = _strip_color(
+                v, m, faces, mat_index, camcoords, light_camcoords,
+                light_position, cfg=cfg, capacity=capacity,
+                num_lights=num_lights, use_spot=use_spot, n_bx=n_bx,
+                axis_name=axis, chunk_size=chunk_size)
+            # Per-strip sum of squares; normalize by the global pixel
+            # count so the psum'd loss equals the global MSE.
+            return jnp.sum((color - target_strip) ** 2) / (
+                3.0 * cfg.image_size)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            vertices, materials)
+        loss = jax.lax.psum(loss, axis)
+        # vertices/materials enter replicated (unvaried), so shard_map AD
+        # already all-reduces their cotangents across the mesh (the
+        # implicit psum of unvaried-primal gradients) — the ICI gradient
+        # all-reduce of BASELINE's north star, overlapped by XLA.
+        gv, gm = grads
+        return loss, gv, gm
+
+    fn = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(None, axis, None)),
+        out_specs=(P(), P(), P()))
+    return jax.jit(fn)

@@ -56,12 +56,15 @@ def work_capacity(cfg: RenderConfig, pair_capacity: int) -> int:
     return cfg.num_cells + pair_capacity // cfg.tri_batch
 
 
-def make_work_items(grid: DeviceGrid, cfg: RenderConfig,
-                    wcap: int) -> WorkItems:
-    """Ragged CSR -> dense work items by searchsorted expansion."""
-    B = cfg.tri_batch
-    num_cells = cfg.num_cells
-    counts = grid.cell_count
+def make_work_items(counts, offsets, batch: int, wcap: int) -> WorkItems:
+    """Ragged CSR -> dense work items by searchsorted expansion.
+
+    counts/offsets: per-cell CSR arrays (may be a contiguous slice of the
+    full grid when tracing a sharded strip).  Padding items get cell ==
+    len(counts).
+    """
+    B = batch
+    num_cells = counts.shape[0]
     nb = (counts + (B - 1)) // B
     incl = jnp.cumsum(nb)
 
@@ -71,7 +74,7 @@ def make_work_items(grid: DeviceGrid, cfg: RenderConfig,
     cell_c = jnp.clip(cell, 0, num_cells - 1)
 
     b = w - (incl - nb)[cell_c]
-    offset = grid.cell_offset[cell_c] + b * B
+    offset = offsets[cell_c] + b * B
     count = jnp.clip(counts[cell_c] - b * B, 0, B)
 
     return WorkItems(
@@ -111,25 +114,25 @@ def tile_rays(dirs, cfg: RenderConfig):
 
     Matches the pixel/block mapping of trace_kernel.cu:91,138: block
     (bx,by) covers rows by*8..+8, cols bx*8..+8; in-tile ray index is
-    ty*8+tx; cell index is bx*gridDim.y+by (x-major).
+    ty*8+tx; cell index is bx*gridDim.y+by (x-major).  Width may be a
+    strip of the full image (sharding); shapes come from ``dirs``.
     """
     ty, tx = cfg.tile_y, cfg.tile_x
-    tiles_y = cfg.screen_height // ty
-    tiles_x = cfg.screen_width // tx
+    h, w = dirs.shape[:2]
+    tiles_y = h // ty
+    tiles_x = w // tx
     d = dirs.reshape(tiles_y, ty, tiles_x, tx, 3)
     d = jnp.transpose(d, (2, 0, 1, 3, 4))  # [tiles_x, tiles_y, ty, tx, 3]
     return d.reshape(tiles_x * tiles_y, ty * tx, 3)
 
 
-def untile(img_tiled, cfg: RenderConfig):
-    """[tiles, tile_y*tile_x, ...] -> [H, W, ...] (inverse of tile_rays)."""
+def untile(img_tiled, cfg: RenderConfig, tiles_x: int, tiles_y: int):
+    """[tiles, tile_y*tile_x, ...] -> [h, w, ...] (inverse of tile_rays)."""
     ty, tx = cfg.tile_y, cfg.tile_x
-    tiles_y = cfg.screen_height // ty
-    tiles_x = cfg.screen_width // tx
     trailing = img_tiled.shape[2:]
     d = img_tiled.reshape(tiles_x, tiles_y, ty, tx, *trailing)
     d = jnp.transpose(d, (1, 2, 0, 3) + tuple(range(4, 4 + len(trailing))))
-    return d.reshape(cfg.screen_height, cfg.screen_width, *trailing)
+    return d.reshape(tiles_y * ty, tiles_x * tx, *trailing)
 
 
 def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
@@ -180,23 +183,41 @@ def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
 
 
 def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
-                  cfg: RenderConfig, *, chunk_size: int = 256):
+                  cfg: RenderConfig, *, chunk_size: int = 256,
+                  bx0=0, n_bx: int | None = None):
     """Full primary trace.  Returns per-pixel dict:
-    t [H,W], face_id [H,W] int32, normal [H,W,3], ray_dir [H,W,3]."""
+    t [H,w], face_id [H,w] int32, normal [H,w,3], ray_dir [H,w,3].
+
+    bx0 / n_bx select a strip of tile columns (for shard_map sharding over
+    the image x axis): only tiles bx in [bx0, bx0+n_bx) are traced and the
+    outputs cover columns [bx0*tile_x, ...).  bx0 may be a traced scalar
+    (e.g. axis_index * n_bx); n_bx must be static.  Default: full image.
+    """
     H, W = cfg.screen_height, cfg.screen_width
     assert W // cfg.tile_x == cfg.grid_x and H // cfg.tile_y == cfg.grid_y, (
         "screen tiles must match grid dims (reference couples them, "
         "main.cu.h:10-28)")
+    if n_bx is None:
+        n_bx = cfg.grid_x
+    tiles_y = cfg.grid_y
+    NS = cfg.num_slabs
+    num_tiles = n_bx * tiles_y
+    cells_local = num_tiles * NS
+    c0 = jnp.asarray(bx0, dtype=jnp.int32) * (tiles_y * NS)
 
     eye = camcoords[0:3]
-    dirs = cam.primary_ray_dirs(camcoords, W, H, xp=jnp)
+    dirs_full = cam.primary_ray_dirs(camcoords, W, H, xp=jnp)
+    dirs = jax.lax.dynamic_slice(
+        dirs_full, (0, jnp.asarray(bx0, jnp.int32) * cfg.tile_x, 0),
+        (H, n_bx * cfg.tile_x, 3))
     rays_t = tile_rays(dirs, cfg)                        # [T, R, 3]
     R = rays_t.shape[1]
-    num_tiles = rays_t.shape[0]
-    NS = cfg.num_slabs
 
-    wcap = work_capacity(cfg, grid.sorted_faces.shape[0])
-    work = make_work_items(grid, cfg, wcap)
+    counts = jax.lax.dynamic_slice(grid.cell_count, (c0,), (cells_local,))
+    offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,), (cells_local,))
+
+    wcap = cells_local + grid.sorted_faces.shape[0] // cfg.tri_batch
+    work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
 
     tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
     ray_blocks = rays_t[tile_of_work]                    # [Wcap, R, 3]
@@ -207,13 +228,13 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     # Segment-min over work items -> per (cell) candidates.
     seg = work.cell
     t_cell = jax.ops.segment_min(tmin_w, seg,
-                                 num_segments=cfg.num_cells + 1)
+                                 num_segments=cells_local + 1)
     cand = jnp.where(tmin_w == t_cell[seg], pair_w, jnp.int32(2**31 - 1))
     win_cell = jax.ops.segment_min(cand, seg,
-                                   num_segments=cfg.num_cells + 1)
+                                   num_segments=cells_local + 1)
 
-    t_cell = t_cell[:cfg.num_cells].reshape(num_tiles, NS, R)
-    win_cell = win_cell[:cfg.num_cells].reshape(num_tiles, NS, R)
+    t_cell = t_cell[:cells_local].reshape(num_tiles, NS, R)
+    win_cell = win_cell[:cells_local].reshape(num_tiles, NS, R)
 
     # Sequential slab scan with the isWithin(done) state machine.
     mvp = camcoords[48:64]
@@ -233,9 +254,12 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         done = jnp.where((done == 1) & (zbin == slab), 2, done)
         return (oldt, win, done), None
 
-    oldt0 = jnp.full((num_tiles, R), jnp.float32(99999999.9))
-    win0 = jnp.full((num_tiles, R), -1, dtype=jnp.int32)
-    done0 = jnp.zeros((num_tiles, R), dtype=jnp.int32)
+    # Derive the init carry from a traced array so its device-varying
+    # provenance matches the scan outputs under shard_map (vma check).
+    zero = rays_t[..., 0] * 0.0
+    oldt0 = zero + jnp.float32(99999999.9)
+    win0 = zero.astype(jnp.int32) - 1
+    done0 = zero.astype(jnp.int32)
     slabs = jnp.arange(NS, dtype=jnp.float32)
     (oldt, win, done), _ = jax.lax.scan(
         slab_step, (oldt0, win0, done0),
@@ -256,9 +280,9 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     t_out = jnp.where(ok, oldt, jnp.float32(-1.0))
 
     return dict(
-        t=untile(t_out, cfg),
-        face_id=untile(face_id, cfg),
-        normal=untile(nrm, cfg),
+        t=untile(t_out, cfg, n_bx, tiles_y),
+        face_id=untile(face_id, cfg, n_bx, tiles_y),
+        normal=untile(nrm, cfg, n_bx, tiles_y),
         ray_dir=dirs,
     )
 

@@ -1,0 +1,67 @@
+"""Differentiable hit refinement.
+
+The reference has no backward pass; BASELINE.json requires gradients of
+the rendered image w.r.t. vertex positions, normals, and materials.  The
+TPU-native design splits the trace into:
+
+  1. a *combinatorial* forward (ugrt.trace.primary / the Pallas kernel)
+     that returns only the winning face id per pixel — this part is
+     piecewise-constant in the scene parameters and is wrapped in
+     stop_gradient;
+  2. this module: a closed-form per-pixel re-evaluation of the
+     Möller–Trumbore t (trace_kernel.cu:4-45) and the geometric normal
+     (trace_kernel.cu:232-253) at the winning face, through which JAX
+     autodiff flows.
+
+Because the sort order, cell assignment, and argmin winner are piecewise
+constant, this yields exactly the correct gradient almost everywhere
+(away from visibility discontinuities) at O(pixels) backward cost —
+no hand-written per-pair backward kernel needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ugrt.config import RenderConfig
+from ugrt.core.vecmath import cross, dot, normalize
+
+
+def refine_primary(vertices, faces, camcoords, primary_raw,
+                   cfg: RenderConfig):
+    """Recompute (t, normal, u, v) differentiably at the winning faces.
+
+    primary_raw: output of trace_primary (face_id decides everything; its
+    t is discarded and recomputed so gradients attach).  Misses keep the
+    reference sentinels (t=-1, normal=-1).
+    """
+    fid = jax.lax.stop_gradient(primary_raw["face_id"])
+    dirs = jax.lax.stop_gradient(primary_raw["ray_dir"])
+    eye = camcoords[0:3]
+    hit = fid >= 0
+
+    v = vertices[faces[jnp.clip(fid, 0, None)]]     # [H, W, 3, 3]
+    v0 = v[..., 0, :]
+    e1 = v[..., 1, :] - v0
+    e2 = v[..., 2, :] - v0
+    tvec = eye[None, None, :] - v0
+
+    pvec = cross(dirs, e2, xp=jnp)
+    det = dot(e1, pvec)
+    inv_det = 1.0 / det
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1, xp=jnp)
+    vv = dot(dirs, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    if cfg.quirks.abs_t:
+        t = jnp.abs(t)
+
+    n = normalize(cross(normalize(e1, xp=jnp), normalize(e2, xp=jnp),
+                        xp=jnp), xp=jnp)
+    if cfg.quirks.abs_normal:
+        n = jnp.abs(n)
+
+    t = jnp.where(hit, t, jnp.float32(-1.0))
+    n = jnp.where(hit[..., None], n, jnp.float32(-1.0))
+    return dict(t=t, face_id=fid, normal=n, ray_dir=dirs, u=u, v=vv)

@@ -53,10 +53,10 @@ class ShadowWork(NamedTuple):
     overflow: jax.Array      # [] bool
 
 
-def packet_capacity(cfg: RenderConfig) -> int:
+def packet_capacity(cfg: RenderConfig, num_rays: int) -> int:
     """Packets <= light cells + N/64: every cell adds at most one partial
     packet on top of the full 64-ray ones."""
-    return cfg.cell_sentinel + cfg.image_size // cfg.max_rays_per_packet + 1
+    return cfg.cell_sentinel + num_rays // cfg.max_rays_per_packet + 1
 
 
 def build_packets(cells, cfg: RenderConfig):
@@ -80,7 +80,7 @@ def build_packets(cells, cfg: RenderConfig):
     if cfg.max_rays_per_packet == 1:
         start = jnp.ones_like(start)
 
-    pcap = packet_capacity(cfg)
+    pcap = packet_capacity(cfg, n)
     # Compact start positions: sort marked positions ascending, pad with n.
     marked = jnp.where(start, pos, n)
     sorted_marked = jnp.sort(marked)
@@ -120,7 +120,7 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     eye + (-1)*dir is faithfully garbage, exactly as the reference
     reorders all IMAGE_SIZE rays (misc_kernel.cu:294-295).
     """
-    H, W = cfg.screen_height, cfg.screen_width
+    H, W = primary["t"].shape
     n = H * W
     L = light_camcoords[0:3]
 
