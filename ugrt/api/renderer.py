@@ -85,6 +85,125 @@ def render_frame_device(vertices, faces, mat_index, materials,
                 primary=primary, overflow=overflow)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "num_lights", "use_spot",
+                     "uniform_dims", "uniform_capacity", "reflectivity",
+                     "chunk_size", "max_batches"))
+def render_frame_reflective(vertices, faces, mat_index, materials,
+                            camcoords, light_camcoords, light_position, *,
+                            cfg: RenderConfig, capacity: int,
+                            num_lights: int, use_spot: bool,
+                            uniform_dims: tuple = (32, 32, 32),
+                            uniform_capacity: int = 1 << 18,
+                            reflectivity: float = 0.3,
+                            chunk_size: int = 256,
+                            max_batches: int = 4):
+    """BASELINE config 4: 2-level trace with a uniform-grid reflection
+    bounce (the capability the reference's dead UniformGrid intended,
+    uniform_grid.h:11-59 / README.md:1).
+
+    color = (1 - kr) * primary_shaded + kr * reflection_shaded, with the
+    reflection hit shaded by the same Lambert model lit from
+    light_position.
+    """
+    from ugrt.core.vecmath import cross as _cross
+    from ugrt.core.vecmath import normalize as _normalize
+    from ugrt.trace import reflect as treflect
+
+    base = render_frame_device(
+        vertices, faces, mat_index, materials, camcoords, light_camcoords,
+        light_position, cfg=cfg, capacity=capacity, num_lights=num_lights,
+        use_spot=use_spot, chunk_size=chunk_size)
+    primary = base["primary"]
+    eye = camcoords[0:3]
+
+    # Uniform grid over the (padded) scene AABB.
+    lo = jnp.min(vertices, axis=0) - 1e-3
+    hi = jnp.max(vertices, axis=0) + 1e-3
+    ugrid = gbuild.build_uniform_grid(
+        vertices, faces, lo, hi, grid_dims=uniform_dims,
+        capacity=uniform_capacity)
+
+    # Signed normals for the mirror direction (abs-normal is display-only).
+    fid = primary["face_id"]
+    v = vertices[faces[jnp.clip(fid, 0, None)]]
+    nrm = _normalize(_cross(_normalize(v[..., 1, :] - v[..., 0, :], xp=jnp),
+                            _normalize(v[..., 2, :] - v[..., 0, :], xp=jnp),
+                            xp=jnp), xp=jnp)
+    prim_signed = dict(t=primary["t"], face_id=fid, normal=nrm,
+                       ray_dir=primary["ray_dir"])
+
+    refl = treflect.reflection_pass(
+        vertices, faces, prim_signed, ugrid, lo, hi, uniform_dims, cfg,
+        eye, max_batches=max_batches)
+
+    # Shade reflection hits with the Lambert model (flat normals of the
+    # reflection hit face), lit from light_position.
+    rfid = refl["face_id"]
+    rv = vertices[faces[jnp.clip(rfid, 0, None)]]
+    rn = _normalize(_cross(
+        _normalize(rv[..., 1, :] - rv[..., 0, :], xp=jnp),
+        _normalize(rv[..., 2, :] - rv[..., 0, :], xp=jnp), xp=jnp), xp=jnp)
+    if cfg.quirks.abs_normal:
+        rn = jnp.abs(rn)
+    refl_primary = dict(t=refl["t"], face_id=rfid, normal=rn,
+                        ray_dir=refl["ray_dir"])
+    # Hit point = origin + t*dir; shade_core reconstructs from an 'eye';
+    # reflection origins vary per pixel, so fold them in by passing the
+    # per-pixel origin through a zero-eye trick: use point = origin +
+    # t*dir directly via a wrapper primary whose ray_dir is scaled.
+    shade_cc = light_camcoords[num_lights - 1] if num_lights > 0 \
+        else camcoords
+    refl_color = _shade_at_points(
+        refl_primary, refl["origin"], shade_cc, light_position,
+        mat_index, materials, cfg)
+
+    kr = jnp.float32(reflectivity)
+    mixed = ((1.0 - kr) * base["color"]
+             + kr * jnp.where((rfid >= 0)[..., None], refl_color, 0.0))
+    image_u8 = (jnp.clip(mixed, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return dict(image=image_u8, color=mixed, reflection=refl,
+                shadowed=base["shadowed"], primary=primary,
+                overflow=base["overflow"] | ugrid.overflow
+                | refl["overflow"])
+
+
+def _shade_at_points(refl_primary, origins, shade_cc, light_position,
+                     mat_index, materials, cfg):
+    """Lambert shade where ray origins vary per pixel (reflection rays).
+
+    shaders.shade_core assumes a single eye; reuse it by substituting the
+    per-pixel origin as 'point = origin + t*dir' computed here."""
+    from ugrt.core.vecmath import dot as _dot
+    from ugrt.core.vecmath import normalize as _normalize
+    from ugrt.core.vecmath import rotate_basis as _rot
+
+    f32 = jnp.float32
+    mv = shade_cc[16:32]
+    tri = refl_primary["face_id"]
+    idx = jnp.where(tri >= 0, mat_index[jnp.maximum(tri, 0)], -1)
+    valid = (idx >= 0) & (idx < materials.shape[0])
+    mats = materials[jnp.maximum(idx, 0)]
+    ka = mats[..., 3:6] if cfg.quirks.ka_from_kd else mats[..., 0:3]
+    kd = mats[..., 3:6]
+
+    point = origins + refl_primary["t"][..., None] * refl_primary["ray_dir"]
+    light_view = _rot(mv, jnp.asarray(light_position, dtype=f32), xp=jnp)
+    point_view = _rot(mv, point, xp=jnp)
+    normal_view = _normalize(_rot(mv, refl_primary["normal"], xp=jnp),
+                             xp=jnp)
+    light_dir = _normalize(point_view - light_view[None, None], xp=jnp)
+    ndotl = _dot(light_dir, normal_view)
+    if cfg.quirks.abs_n_dot_l:
+        ndotl = jnp.abs(ndotl)
+    diffuse = jnp.where(ndotl > 0, ndotl, f32(0.0))[..., None]
+    color = ka * f32(0.5) + kd * diffuse
+    color = jnp.clip(color, None, f32(1.0))
+    return jnp.where(valid[..., None] & (refl_primary["t"][..., None] > 0),
+                     color, f32(0.0))
+
+
 class Renderer:
     """Host-side frame driver (the GLUT-loop replacement).
 
