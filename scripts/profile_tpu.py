@@ -16,7 +16,7 @@ print("faces:", sc.num_faces, "backend:", jax.default_backend())
 spec = cam.CameraSpec(eye=(3,15,5), look_at=(13,13,3), up=(0,0,1), near=0.1, far=100.0)
 light = cam.CameraSpec(eye=(14,13,8), look_at=(14,13,0), up=(0,1,0), near=0.1, far=100.0)
 cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, 1.0))
-lcc = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg, 1.0))
+lcc_single = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg, 1.0)); lcc = lcc_single[None]
 lp = jnp.asarray(np.asarray(light.eye, np.float32))
 cap = cfg.pair_capacity(sc.num_faces)
 verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
@@ -37,7 +37,7 @@ build_p = jax.jit(lambda v: gbuild.build_perspective_grid(v, faces, cc, cfg=cfg,
 grid = timeit("grid build (persp)", build_p, verts)
 print("  total pairs:", int(grid.total_pairs), "cap:", cap)
 
-build_s = jax.jit(lambda v: gbuild.build_spherical_grid(v, faces, lcc, cfg=cfg, capacity=cap))
+build_s = jax.jit(lambda v: gbuild.build_spherical_grid(v, faces, lcc_single, cfg=cfg, capacity=cap))
 lgrid = timeit("grid build (spherical)", build_s, verts)
 print("  light pairs:", int(lgrid.total_pairs))
 
@@ -45,7 +45,7 @@ trace = jax.jit(lambda v, g: tprim.trace_primary(v, faces, cc, g, cfg, chunk_siz
 prim = timeit("primary trace", trace, verts, grid)
 print("  hits:", int((prim["t"]>0).sum()))
 
-shad = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc, g, p, cc[:3], cfg, chunk_size=CH)[0])
+shad = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, chunk_size=CH)[0])
 sh = timeit("shadow pass", shad, verts, lgrid, prim)
 print("  shadowed:", int(sh.sum()))
 

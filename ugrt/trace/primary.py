@@ -146,7 +146,7 @@ def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
     B = cfg.tri_batch
     lane = jnp.arange(B, dtype=jnp.int32)
 
-    def chunk_fn(args):
+    def chunk_body(args):
         offset, count, rays = args          # [C], [C], [C, R, 3]
         idx = offset[:, None] + lane[None, :]
         idx = jnp.clip(idx, 0, grid.sorted_faces.shape[0] - 1)
@@ -166,6 +166,17 @@ def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
         pair = offset[:, None] + k.astype(jnp.int32)
         return tmin, pair
 
+    def chunk_fn(args):
+        # Work items are packed valid-first; fully-dead chunks (the
+        # static-capacity padding tail) skip all compute.
+        offset, count, rays = args
+        C, Rr = count.shape[0], rays.shape[1]
+        return jax.lax.cond(
+            jnp.any(count > 0), chunk_body,
+            lambda a: (jnp.full((C, Rr), _BIG),
+                       jnp.zeros((C, Rr), dtype=jnp.int32)),
+            args)
+
     wcap = work.cell.shape[0]
     n_chunks = -(-wcap // chunk_size)
     pad = n_chunks * chunk_size - wcap
@@ -184,7 +195,8 @@ def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
 
 def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
                   cfg: RenderConfig, *, chunk_size: int = 256,
-                  bx0=0, n_bx: int | None = None):
+                  bx0=0, n_bx: int | None = None,
+                  backend: str = "xla", interpret: bool = False):
     """Full primary trace.  Returns per-pixel dict:
     t [H,w], face_id [H,w] int32, normal [H,w,3], ray_dir [H,w,3].
 
@@ -192,6 +204,10 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     the image x axis): only tiles bx in [bx0, bx0+n_bx) are traced and the
     outputs cover columns [bx0*tile_x, ...).  bx0 may be a traced scalar
     (e.g. axis_index * n_bx); n_bx must be static.  Default: full image.
+
+    backend: "xla" (gather/segment pipeline) or "pallas" (fused Mosaic
+    kernel, ugrt.trace.pallas_tracer); interpret runs the Pallas kernel
+    in interpreter mode (CPU testing).
     """
     H, W = cfg.screen_height, cfg.screen_width
     assert W // cfg.tile_x == cfg.grid_x and H // cfg.tile_y == cfg.grid_y, (
@@ -220,10 +236,19 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
 
     tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
-    ray_blocks = rays_t[tile_of_work]                    # [Wcap, R, 3]
 
-    tmin_w, pair_w = _work_chunk_min(
-        vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
+    if backend == "pallas":
+        from ugrt.trace import pallas_tracer
+
+        tri_T = pallas_tracer.pack_tri_data(vertices, faces, grid, eye)
+        rays8 = jnp.pad(rays_t, ((0, 0), (0, 0), (0, 5)))  # [T, R, 8]
+        tmin_w, pair_w = pallas_tracer.work_sweep_pallas(
+            tri_T, rays8, work.offset, work.count, tile_of_work,
+            cfg=cfg, interpret=interpret)
+    else:
+        ray_blocks = rays_t[tile_of_work]                # [Wcap, R, 3]
+        tmin_w, pair_w = _work_chunk_min(
+            vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
 
     # Segment-min over work items -> per (cell) candidates.
     seg = work.cell

@@ -113,7 +113,7 @@ def build_packets(cells, cfg: RenderConfig):
 def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                  primary, primary_eye, cfg: RenderConfig, *,
                  chunk_size: int = 256,
-                 work_factor: int = 4):
+                 work_factor: int = 2):
     """Per-pixel shadow flags [H, W] int32 (mod_light_rckernel semantics).
 
     Every pixel participates — including primary misses, whose 'hit point'
@@ -157,7 +157,11 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
 
         nb = (cnt + (B - 1)) // B
         incl = jnp.cumsum(nb)
-        wcap = work_factor * (pcap + light_grid.sorted_faces.shape[0] // B)
+        # Each packet needs >= 1 batch; extra batches are bounded by the
+        # packet's cell depth.  work_factor x pcap covers cells up to
+        # work_factor batches deep on average (overflow flag otherwise).
+        wcap = (work_factor * pcap
+                + light_grid.sorted_faces.shape[0] // B)
 
         w = jnp.arange(wcap, dtype=jnp.int32)
         pkt = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
@@ -172,7 +176,7 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         lane = jnp.arange(B, dtype=jnp.int32)
         ray_lane = jnp.arange(R, dtype=jnp.int32)
 
-        def chunk_fn(args):
+        def chunk_body(args):
             c_off, c_cnt, c_pos, c_prays = args
             idx = jnp.clip(c_off[:, None] + lane[None, :], 0,
                            light_grid.sorted_faces.shape[0] - 1)
@@ -204,6 +208,15 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             live_ray = (ray_lane[None, :] < c_prays[:, None])
             sh = jnp.any(hit & small & live_tri, axis=-1) & live_ray
             return sh                                        # [C, R] bool
+
+        def chunk_fn(args):
+            # Work items are packed valid-first, so whole chunks beyond
+            # the live count are dead — skip their compute entirely.
+            c_off, c_cnt, c_pos, c_prays = args
+            return jax.lax.cond(
+                jnp.any(c_cnt > 0), chunk_body,
+                lambda a: jnp.zeros((a[0].shape[0], R), dtype=jnp.bool_),
+                args)
 
         n_chunks = -(-wcap // chunk_size)
         pad = n_chunks * chunk_size - wcap
