@@ -12,7 +12,16 @@ import numpy as np
 
 
 def write_ppm(path: str, image_u8, flip: bool = False) -> None:
-    """Write [H, W, 3] u8 as P3 ASCII PPM (per_app_funcs.h:39-66)."""
+    """Write [H, W, 3] u8 as P3 ASCII PPM (per_app_funcs.h:39-66).
+
+    Uses the native writer (native/ugrt_native.cpp, ~10x faster) when the
+    shared library is built; byte-identical output either way."""
+    from ugrt.scene import native
+
+    if native.available():
+        native.write_ppm_fast(path, np.asarray(image_u8, dtype=np.uint8),
+                              flip=flip)
+        return
     img = np.asarray(image_u8, dtype=np.uint8)
     if flip:
         img = img[::-1]

@@ -74,12 +74,31 @@ def load_material_file(path: str) -> np.ndarray:
     return mats
 
 
-def load_scene(obj_path: str, material_path: str | None = None) -> Scene:
+def load_scene(obj_path: str, material_path: str | None = None,
+               prefer_native: bool = True) -> Scene:
     """Model::load_model static path (scene.h:226-331).
 
     Faces are truncated to their first three vertex indices — the reference
     reads only vertex_index[0..2] even for quads (scene.h:249-253).
+
+    Uses the native C++ parser (native/ugrt_native.cpp, ~20x faster) when
+    built and the OBJ has no per-face materials needing the full Python
+    material model; otherwise the Python parser.
     """
+    # The native fast path covers the reference's own flow (a custom
+    # material file supplies the colors; the OBJ only contributes
+    # usemtl indices).  MTL-color scenes need the Python parser.
+    if prefer_native and material_path is not None:
+        from ugrt.scene import native as _native
+
+        fast = (_native.parse_obj_fast(obj_path)
+                if _native.available() else None)
+        if fast is not None:
+            vertices, faces, mat_index = fast
+            materials = _native.parse_materials_fast(material_path)
+            return Scene(vertices=vertices, faces=faces,
+                         mat_index=mat_index, materials=materials)
+
     parsed = parse_obj(obj_path)
     num_faces = len(parsed.faces)
 

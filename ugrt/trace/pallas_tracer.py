@@ -5,18 +5,22 @@ ugrt.trace.primary._work_chunk_min with a single Mosaic kernel — the TPU
 analog of the reference's shared-memory inner loop (rckernel_alpha,
 /root/reference/trace_kernel.cu:147-215): where a CUDA block stages 64
 triangles into shared memory and tests 64 rays against them, a kernel
-program here DMAs a [16 x B] transposed triangle slab from HBM into VMEM
-and evaluates the full [64 x B] Möller–Trumbore block on the VPU.
+program here DMAs a [B x 16] triangle slab from HBM into VMEM and
+evaluates the full [B x R] Möller–Trumbore block on the VPU.
 
-Layout choices (see pallas guide):
-  * triangle data is pre-gathered once per frame into pair order and
-    TRANSPOSED: tri_T [16, capacity] — components on sublanes, pairs on
-    lanes, so a work item's slab is a contiguous [16, B] lane slice;
-  * rays per tile are [64, 8] (xyz + eye padded to 8 lanes);
-  * each grid step processes WCHUNK work items with double-buffered DMA,
-    amortizing per-program overhead;
-  * outputs are per-item (min t [64], winner lane [64]); the cross-item
-    segment-min stays in XLA (cheap).
+Layout (chosen for Mosaic's DMA alignment rules — dynamic slice offsets
+must divide the tiling, 8 on sublanes / 128 on lanes):
+  * triangle data is pre-gathered once per frame into an 8-ALIGNED padded
+    pair layout tri_rows [cap8, 16] (pairs on sublanes, components on
+    lanes; per-cell segments start at multiples of 8) so a work item's
+    slab [B, 16] is a sublane slice at an 8-divisible offset;
+  * rays per tile are rays_T [T, 8, 64] (components on sublanes, rays on
+    lanes), so ray broadcasts need no in-kernel transposes;
+  * the [B, R] intersection block puts triangles on sublanes and rays on
+    lanes; min/argmin reduce over sublanes to [R];
+  * each grid step processes `wchunk` work items with double-buffered
+    DMA, amortizing per-program overhead;
+  * the cross-item segment-min stays in XLA (cheap).
 
 The kernel is combinatorial-forward only; gradients flow through
 ugrt.trace.refine as usual.
@@ -25,6 +29,7 @@ ugrt.trace.refine as usual.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,19 +39,37 @@ from jax.experimental.pallas import tpu as pltpu
 from ugrt.config import RenderConfig
 from ugrt.grid.build import DeviceGrid
 
-_BIG = 3.0e38  # plain float: jnp scalars would be captured consts in the kernel
+_BIG = 3.0e38  # plain float: a jnp scalar would be a captured const
 
-# tri_T row layout: 0:3 tvec (eye - v0), 3:6 e1, 6:9 e2, rest pad.
-_TRI_ROWS = 16
+# tri row layout: 0:3 tvec (eye - v0), 3:6 e1, 6:9 e2, rest pad.
+_TRI_COLS = 16
+_ALIGN = 8  # sublane tiling — padded cell segments start at multiples
 
 
-def pack_tri_data(vertices, faces, grid: DeviceGrid, eye):
-    """Pre-gather triangle data into sorted-pair order, transposed.
+class PaddedLayout(NamedTuple):
+    """8-aligned pair layout for DMA-friendly slab slicing."""
 
-    Returns tri_T [16, capacity] float32 with rows (tvec, e1, e2) — the
-    (eye - v0, v1 - v0, v2 - v0) staging of trace_kernel.cu:149-175.
+    tri_rows: jax.Array       # [cap8, 16] float32
+    padded_offset: jax.Array  # [num_cells] int32, multiples of 8
+    padded_faces: jax.Array   # [cap8] int32 face id per padded pair (-1 pad)
+
+
+def padded_capacity(cfg: RenderConfig, capacity: int) -> int:
+    return capacity + _ALIGN * cfg.num_cells + 2 * cfg.tri_batch
+
+
+def pack_tri_data(vertices, faces, grid: DeviceGrid, eye,
+                  cfg: RenderConfig) -> PaddedLayout:
+    """Gather triangle data into 8-aligned padded pair order.
+
+    Rows hold (eye - v0, v1 - v0, v2 - v0) — the staging of
+    trace_kernel.cu:149-175.  Each cell's segment is relocated to start
+    at padded_offset[cell] (a multiple of 8); padding rows are zero and
+    masked by work counts.
     """
     cap = grid.sorted_faces.shape[0]
+    cap8 = padded_capacity(cfg, cap)
+
     fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
     v = vertices[faces[fidx]]            # [cap, 3, 3]
     v0 = v[:, 0]
@@ -54,29 +77,45 @@ def pack_tri_data(vertices, faces, grid: DeviceGrid, eye):
     e2 = v[:, 2] - v0
     tvec = eye[None, :] - v0
     data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap, 9]
-    data = jnp.pad(data, ((0, 0), (0, _TRI_ROWS - 9)))
-    return data.T                                     # [16, cap]
+    data = jnp.pad(data, ((0, 0), (0, _TRI_COLS - 9)))
+
+    counts = grid.cell_count
+    padded = ((counts + (_ALIGN - 1)) // _ALIGN) * _ALIGN
+    padded_offset = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+
+    keys = jnp.clip(grid.sorted_keys, 0, cfg.num_cells)  # sentinel -> num_cells
+    in_cell = keys < cfg.num_cells
+    keys_c = jnp.clip(keys, 0, cfg.num_cells - 1)
+    rank = jnp.arange(cap, dtype=jnp.int32) - grid.cell_offset[keys_c]
+    new_pos = jnp.where(in_cell, padded_offset[keys_c] + rank, cap8 - 1)
+
+    tri_rows = jnp.zeros((cap8, _TRI_COLS), dtype=jnp.float32)
+    tri_rows = tri_rows.at[new_pos].set(
+        jnp.where(in_cell[:, None], data, 0.0))
+    padded_faces = jnp.full((cap8,), -1, dtype=jnp.int32).at[new_pos].set(
+        jnp.where(in_cell, grid.sorted_faces, -1))
+    return PaddedLayout(tri_rows, padded_offset, padded_faces)
 
 
 def _mt_block(tri, rays, count, cfg: RenderConfig):
-    """[R x B] Möller–Trumbore on the VPU.
+    """[B x R] Möller–Trumbore on the VPU.
 
-    tri: [16, B] slab; rays: [R, 8] (cols 0:3 dir); count: live tris.
-    Returns (t [R, B]) with _BIG for rejects/pad, |t| quirk applied.
+    tri: [B, 16] slab; rays: [8, R] (rows 0:3 dir); count: live tris.
+    Returns t [B, R] with _BIG for rejects/pad, |t| quirk applied.
     """
-    B = tri.shape[1]
-    R = rays.shape[0]
+    B = tri.shape[0]
+    R = rays.shape[1]
 
-    def rrow(i):  # ray component as [R, 1]
-        return rays[:, i][:, None]
+    def rrow(i):  # ray component as [1, R]
+        return rays[i, :][None, :]
 
-    def trow(i):  # triangle component as [1, B]
-        return tri[i, :][None, :]
+    def tcol(i):  # triangle component as [B, 1]
+        return tri[:, i][:, None]
 
     dx, dy, dz = rrow(0), rrow(1), rrow(2)
-    tvx, tvy, tvz = trow(0), trow(1), trow(2)
-    e1x, e1y, e1z = trow(3), trow(4), trow(5)
-    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+    tvx, tvy, tvz = tcol(0), tcol(1), tcol(2)
+    e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
+    e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
 
     # pvec = dir x e2
     pvx = dy * e2z - dz * e2y
@@ -94,10 +133,10 @@ def _mt_block(tri, rays, count, cfg: RenderConfig):
     if cfg.quirks.abs_t:
         t = jnp.abs(t)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, B), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
     reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
-              | (t <= 0) | (lane >= count))
+              | (t <= 0) | (row >= count))
     return jnp.where(reject, jnp.float32(_BIG), t)
 
 
@@ -108,9 +147,10 @@ def _sweep_kernel(offs_ref, cnts_ref, tiles_ref, tri_hbm, rays_hbm,
     pid = pl.program_id(0)
 
     def tri_dma(slot, item):
+        off = pl.multiple_of(offs_ref[item], _ALIGN)
         return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(offs_ref[item], B)],
-            tri_vmem.at[slot], sems.at[slot])
+            tri_hbm.at[pl.ds(off, B), :], tri_vmem.at[slot],
+            sems.at[slot])
 
     def ray_dma(slot, item):
         return pltpu.make_async_copy(
@@ -140,8 +180,8 @@ def _sweep_kernel(offs_ref, cnts_ref, tiles_ref, tri_hbm, rays_hbm,
             ray_dma(cur, item).wait()
             t = _mt_block(tri_vmem[cur], ray_vmem[cur], cnts_ref[item],
                           cfg)
-            tmin = jnp.min(t, axis=1)
-            win = jnp.argmin(t, axis=1).astype(jnp.int32)
+            tmin = jnp.min(t, axis=0)                       # [R]
+            win = jnp.argmin(t, axis=0).astype(jnp.int32)   # [R]
             t_out[k, :] = tmin
             i_out[k, :] = offs_ref[item] + win
 
@@ -157,16 +197,18 @@ def _sweep_kernel(offs_ref, cnts_ref, tiles_ref, tri_hbm, rays_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "wchunk", "interpret"))
-def work_sweep_pallas(tri_T, rays_tiled, work_offset, work_count,
+def work_sweep_pallas(tri_rows, rays_T, work_offset, work_count,
                       work_tile, *, cfg: RenderConfig, wchunk: int = 8,
                       interpret: bool = False):
-    """Per-work-item (min t, winner pair index) via the Pallas kernel.
+    """Per-work-item (min t, winner PADDED pair index) via Pallas.
 
-    tri_T: [16, capacity]; rays_tiled: [T, R, 8]; work_*: [Wcap] int32.
-    Returns (tmin [Wcap, R], pair [Wcap, R]).
+    tri_rows: [cap8, 16]; rays_T: [T, 8, R]; work_*: [Wcap] int32 with
+    offsets into the PADDED layout (multiples of 8).
+    Returns (tmin [Wcap, R], pair [Wcap, R] — indices into the padded
+    layout).
     """
     B = cfg.tri_batch
-    R = rays_tiled.shape[1]
+    R = rays_T.shape[2]
     wcap = work_offset.shape[0]
     n_prog = -(-wcap // wchunk)
     pad = n_prog * wchunk - wcap
@@ -174,16 +216,13 @@ def work_sweep_pallas(tri_T, rays_tiled, work_offset, work_count,
     offs = jnp.pad(work_offset, (0, pad + 1))
     cnts = jnp.pad(work_count, (0, pad + 1))
     tiles = jnp.pad(work_tile, (0, pad + 1))
-    # One extra batch of zero columns so a batch near the buffer end can
-    # still DMA a full [16, B] slab.
-    tri_T = jnp.pad(tri_T, ((0, 0), (0, B)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tri_T in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tri_rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # rays_T (HBM)
         ],
         out_specs=[
             pl.BlockSpec((wchunk, R), lambda i, *_: (i, 0),
@@ -192,8 +231,8 @@ def work_sweep_pallas(tri_T, rays_tiled, work_offset, work_count,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, _TRI_ROWS, B), jnp.float32),
-            pltpu.VMEM((2, R, 8), jnp.float32),
+            pltpu.VMEM((2, B, _TRI_COLS), jnp.float32),
+            pltpu.VMEM((2, 8, R), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -208,5 +247,5 @@ def work_sweep_pallas(tri_T, rays_tiled, work_offset, work_count,
             jax.ShapeDtypeStruct((n_prog * wchunk, R), jnp.int32),
         ],
         interpret=interpret,
-    )(offs, cnts, tiles, tri_T, rays_tiled)
+    )(offs, cnts, tiles, tri_rows, rays_T)
     return t_out[:wcap], i_out[:wcap]

@@ -230,25 +230,35 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     R = rays_t.shape[1]
 
     counts = jax.lax.dynamic_slice(grid.cell_count, (c0,), (cells_local,))
-    offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,), (cells_local,))
 
     wcap = cells_local + grid.sorted_faces.shape[0] // cfg.tri_batch
-    work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
-
-    tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
 
     if backend == "pallas":
         from ugrt.trace import pallas_tracer
 
-        tri_T = pallas_tracer.pack_tri_data(vertices, faces, grid, eye)
-        rays8 = jnp.pad(rays_t, ((0, 0), (0, 0), (0, 5)))  # [T, R, 8]
+        layout = pallas_tracer.pack_tri_data(vertices, faces, grid, eye,
+                                             cfg)
+        offsets = jax.lax.dynamic_slice(layout.padded_offset, (c0,),
+                                        (cells_local,))
+        work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
+        tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
+
+        # rays as [T, 8, R]: components on sublanes, rays on lanes.
+        rays_T = jnp.pad(jnp.swapaxes(rays_t, 1, 2),
+                         ((0, 0), (0, 5), (0, 0)))
         tmin_w, pair_w = pallas_tracer.work_sweep_pallas(
-            tri_T, rays8, work.offset, work.count, tile_of_work,
-            cfg=cfg, interpret=interpret)
+            layout.tri_rows, rays_T, work.offset, work.count,
+            tile_of_work, cfg=cfg, interpret=interpret)
+        value_lookup = layout.padded_faces
     else:
+        offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),
+                                        (cells_local,))
+        work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
+        tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
         ray_blocks = rays_t[tile_of_work]                # [Wcap, R, 3]
         tmin_w, pair_w = _work_chunk_min(
             vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
+        value_lookup = grid.sorted_faces
 
     # Segment-min over work items -> per (cell) candidates.
     seg = work.cell
@@ -292,7 +302,7 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
 
     ok = done == 2
     face_id = jnp.where(
-        ok, grid.sorted_faces[jnp.clip(win, 0, None)], -2).astype(jnp.int32)
+        ok, value_lookup[jnp.clip(win, 0, None)], -2).astype(jnp.int32)
 
     v = vertices[faces[jnp.clip(face_id, 0, None)]]      # [T, R, 3, 3]
     e1 = normalize(v[..., 1, :] - v[..., 0, :], xp=jnp)
