@@ -42,7 +42,12 @@ from ugrt.grid.build import DeviceGrid
 _BIG = 3.0e38  # plain float: a jnp scalar would be a captured const
 
 # tri row layout: 0:3 tvec (eye - v0), 3:6 e1, 6:9 e2, rest pad.
-_TRI_COLS = 16
+# Mosaic requires HBM DMA slices whose lane (last-dim) extent is a
+# multiple of 128, so component rows are padded to a full 128 lanes —
+# an 8x overfetch per slab (64 KB instead of 8 KB) that costs ~2 ms/frame
+# of HBM bandwidth at the flagship workload; revisit with a packed layout
+# if it ever shows up in profiles.
+_TRI_COLS = 128
 _ALIGN = 8  # sublane tiling — padded cell segments start at multiples
 
 
@@ -77,7 +82,6 @@ def pack_tri_data(vertices, faces, grid: DeviceGrid, eye,
     e2 = v[:, 2] - v0
     tvec = eye[None, :] - v0
     data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap, 9]
-    data = jnp.pad(data, ((0, 0), (0, _TRI_COLS - 9)))
 
     counts = grid.cell_count
     padded = ((counts + (_ALIGN - 1)) // _ALIGN) * _ALIGN
@@ -90,7 +94,7 @@ def pack_tri_data(vertices, faces, grid: DeviceGrid, eye,
     new_pos = jnp.where(in_cell, padded_offset[keys_c] + rank, cap8 - 1)
 
     tri_rows = jnp.zeros((cap8, _TRI_COLS), dtype=jnp.float32)
-    tri_rows = tri_rows.at[new_pos].set(
+    tri_rows = tri_rows.at[new_pos, :9].set(
         jnp.where(in_cell[:, None], data, 0.0))
     padded_faces = jnp.full((cap8,), -1, dtype=jnp.int32).at[new_pos].set(
         jnp.where(in_cell, grid.sorted_faces, -1))
@@ -100,7 +104,8 @@ def pack_tri_data(vertices, faces, grid: DeviceGrid, eye,
 def _mt_block(tri, rays, count, cfg: RenderConfig):
     """[B x R] Möller–Trumbore on the VPU.
 
-    tri: [B, 16] slab; rays: [8, R] (rows 0:3 dir); count: live tris.
+    tri: [B, 128] slab (cols 0:9 live); rays: [8, R] (rows 0:3 dir);
+    count: live tris.
     Returns t [B, R] with _BIG for rejects/pad, |t| quirk applied.
     """
     B = tri.shape[0]

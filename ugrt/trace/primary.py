@@ -168,14 +168,14 @@ def _work_chunk_min(vertices, faces, grid, work, ray_blocks, eye,
 
     def chunk_fn(args):
         # Work items are packed valid-first; fully-dead chunks (the
-        # static-capacity padding tail) skip all compute.
-        offset, count, rays = args
-        C, Rr = count.shape[0], rays.shape[1]
-        return jax.lax.cond(
-            jnp.any(count > 0), chunk_body,
-            lambda a: (jnp.full((C, Rr), _BIG),
-                       jnp.zeros((C, Rr), dtype=jnp.int32)),
-            args)
+        # static-capacity padding tail) skip all compute.  The dead
+        # branch derives its outputs from the traced inputs so their
+        # device-varying provenance matches under shard_map.
+        def dead(a):
+            z = a[2][:, :, 0] * 0.0
+            return z + _BIG, z.astype(jnp.int32)
+
+        return jax.lax.cond(jnp.any(args[1] > 0), chunk_body, dead, args)
 
     wcap = work.cell.shape[0]
     n_chunks = -(-wcap // chunk_size)
@@ -243,12 +243,15 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
         tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
 
-        # rays as [T, 8, R]: components on sublanes, rays on lanes.
+        # rays as [T, 8, 128]: components on sublanes, rays on lanes
+        # (padded to a full 128 lanes for DMA alignment).
         rays_T = jnp.pad(jnp.swapaxes(rays_t, 1, 2),
-                         ((0, 0), (0, 5), (0, 0)))
+                         ((0, 0), (0, 5), (0, 128 - R)))
         tmin_w, pair_w = pallas_tracer.work_sweep_pallas(
             layout.tri_rows, rays_T, work.offset, work.count,
             tile_of_work, cfg=cfg, interpret=interpret)
+        tmin_w = tmin_w[:, :R]
+        pair_w = pair_w[:, :R]
         value_lookup = layout.padded_faces
     else:
         offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),

@@ -212,11 +212,13 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         def chunk_fn(args):
             # Work items are packed valid-first, so whole chunks beyond
             # the live count are dead — skip their compute entirely.
-            c_off, c_cnt, c_pos, c_prays = args
-            return jax.lax.cond(
-                jnp.any(c_cnt > 0), chunk_body,
-                lambda a: jnp.zeros((a[0].shape[0], R), dtype=jnp.bool_),
-                args)
+            # Dead-branch outputs derive from traced inputs (shard_map
+            # varying-axes provenance).
+            def dead(a):
+                return ((a[3][:, None] + ray_lane[None, :]) < 0)
+
+            return jax.lax.cond(jnp.any(args[1] > 0), chunk_body, dead,
+                                args)
 
         n_chunks = -(-wcap // chunk_size)
         pad = n_chunks * chunk_size - wcap
