@@ -37,11 +37,12 @@ from ugrt.trace import shadow as tshadow
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "capacity", "num_lights", "use_spot",
-                     "chunk_size"))
+                     "chunk_size", "trace_backend"))
 def render_frame_device(vertices, faces, mat_index, materials,
                         camcoords, light_camcoords, light_position, *,
                         cfg: RenderConfig, capacity: int, num_lights: int,
-                        use_spot: bool, chunk_size: int = 256):
+                        use_spot: bool, chunk_size: int = 256,
+                        trace_backend: str = "xla"):
     """One fully-fused frame: returns dict with float RGB image [H,W,3],
     u8 image, shadow mask, and primary-hit buffers.
 
@@ -51,7 +52,8 @@ def render_frame_device(vertices, faces, mat_index, materials,
     grid = gbuild.build_perspective_grid(
         vertices, faces, camcoords, cfg=cfg, capacity=capacity)
     primary = tprimary.trace_primary(
-        vertices, faces, camcoords, grid, cfg, chunk_size=chunk_size)
+        vertices, faces, camcoords, grid, cfg, chunk_size=chunk_size,
+        backend=trace_backend)
 
     eye = camcoords[0:3]
     H, W = cfg.screen_height, cfg.screen_width

@@ -30,7 +30,7 @@ from ugrt.trace import shadow as tshadow
 def render_color(vertices, materials, faces, mat_index, camcoords,
                  light_camcoords, light_position, *, cfg: RenderConfig,
                  capacity: int, num_lights: int, use_spot: bool,
-                 chunk_size: int = 256):
+                 chunk_size: int = 256, trace_backend: str = "xla"):
     """Float RGB [H, W, 3] image, differentiable w.r.t. vertices and
     materials.  Matches the u8 reference image up to quantization."""
     vsg = jax.lax.stop_gradient(vertices)
@@ -38,7 +38,8 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     grid = gbuild.build_perspective_grid(
         vsg, faces, camcoords, cfg=cfg, capacity=capacity)
     raw = tprimary.trace_primary(vsg, faces, camcoords, grid, cfg,
-                                 chunk_size=chunk_size)
+                                 chunk_size=chunk_size,
+                                 backend=trace_backend)
 
     eye = camcoords[0:3]
     H, W = cfg.screen_height, cfg.screen_width
@@ -68,11 +69,12 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "capacity", "num_lights", "use_spot",
-                     "chunk_size"))
+                     "chunk_size", "trace_backend"))
 def render_and_grad(vertices, materials, faces, mat_index, camcoords,
                     light_camcoords, light_position, target, *,
                     cfg: RenderConfig, capacity: int, num_lights: int,
-                    use_spot: bool, chunk_size: int = 256):
+                    use_spot: bool, chunk_size: int = 256,
+                    trace_backend: str = "xla"):
     """Image + MSE-to-target loss + gradients w.r.t. (vertices, materials).
 
     The canonical inverse-rendering step: everything (grid rebuild, trace,
@@ -84,7 +86,7 @@ def render_and_grad(vertices, materials, faces, mat_index, camcoords,
             verts, mats, faces, mat_index, camcoords, light_camcoords,
             light_position, cfg=cfg, capacity=capacity,
             num_lights=num_lights, use_spot=use_spot,
-            chunk_size=chunk_size)
+            chunk_size=chunk_size, trace_backend=trace_backend)
         return jnp.mean((color - target) ** 2), color
 
     (loss, color), grads = jax.value_and_grad(
