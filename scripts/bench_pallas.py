@@ -25,13 +25,19 @@ def timeit(name, fn, *a, n=5):
     return out
 
 build = jax.jit(lambda v: gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap))
+build8 = jax.jit(lambda v: gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap, align=8))
 grid = timeit("grid build", build, v)
 
 tx = jax.jit(lambda v, g: tprim.trace_primary(v, f, cc, g, cfg, chunk_size=1024))
 rx = timeit("primary trace (xla)", tx, v, grid)
 
+grid8 = timeit("grid build (align=8)", build8, v)
 tp = jax.jit(lambda v, g: tprim.trace_primary(v, f, cc, g, cfg, backend="pallas"))
-rp = timeit("primary trace (pallas)", tp, v, grid)
+rp = timeit("primary trace (pallas)", tp, v, grid8)
+# also time pack separately
+from ugrt.trace import pallas_tracer
+packf = jax.jit(lambda v, g: pallas_tracer.pack_tri_data(v, f, g, cc[:3], cfg))
+timeit("pack_tri_data", packf, v, grid8)
 
 idx = np.asarray(rx["face_id"]); idp = np.asarray(rp["face_id"])
 print("face_id mismatches:", (idx != idp).sum(), "/", idx.size)

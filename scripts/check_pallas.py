@@ -14,7 +14,7 @@ spec = cam.CameraSpec(eye=(0.123,0.071,2.531), look_at=(-0.037,0.011,0.0), up=(0
 cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, 1.0))
 cap = cfg.pair_capacity(sc.num_faces)
 v = jnp.asarray(sc.vertices); f = jnp.asarray(sc.faces)
-dg = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap)
+dg = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap, align=8)
 
 res_x = tprim.trace_primary(v, f, cc, dg, cfg)
 res_p = tprim.trace_primary(v, f, cc, dg, cfg, backend="pallas", interpret=True)

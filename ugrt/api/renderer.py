@@ -50,7 +50,8 @@ def render_frame_device(vertices, faces, mat_index, materials,
     camcoords when lights exist (reference behavior), else the camera's.
     """
     grid = gbuild.build_perspective_grid(
-        vertices, faces, camcoords, cfg=cfg, capacity=capacity)
+        vertices, faces, camcoords, cfg=cfg, capacity=capacity,
+        align=8 if trace_backend == "pallas" else 1)
     primary = tprimary.trace_primary(
         vertices, faces, camcoords, grid, cfg, chunk_size=chunk_size,
         backend=trace_backend)

@@ -36,7 +36,8 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     vsg = jax.lax.stop_gradient(vertices)
 
     grid = gbuild.build_perspective_grid(
-        vsg, faces, camcoords, cfg=cfg, capacity=capacity)
+        vsg, faces, camcoords, cfg=cfg, capacity=capacity,
+        align=8 if trace_backend == "pallas" else 1)
     raw = tprimary.trace_primary(vsg, faces, camcoords, grid, cfg,
                                  chunk_size=chunk_size,
                                  backend=trace_backend)

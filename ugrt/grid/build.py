@@ -50,13 +50,20 @@ class DeviceGrid(NamedTuple):
     overflow: jax.Array       # [] bool — true pair count exceeded capacity
 
 
-def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int):
+def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
+                     align: int = 1):
     """Ragged expand + stable sort + CSR from per-face cell ranges.
 
     Pair keys replicate grid_kernel.cu:322:
       key = ((gxmin+i) * grid_y + (gymin+j)) * num_slabs + gz
     enumerated i-major, j-minor, faces ascending — so the stably sorted
     value list matches CUDPP's radix-sorted output order exactly.
+
+    align > 1 inserts per-cell padding pairs (face -1) so every cell
+    segment STARTS at a multiple of `align` — the DMA-aligned layout the
+    Pallas tracer consumes, produced natively by the sort instead of a
+    post-hoc scatter.  cell_count stays the REAL count (padding rows are
+    masked by it); cell_offset points into the padded layout.
     """
     num_cells = cfg.num_cells
     sentinel = num_cells  # sorts after every real cell key
@@ -84,14 +91,35 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int):
     key = jnp.where(valid, key, sentinel)
     val = jnp.where(valid, face_c, -1)
 
+    # Real per-cell histogram (key order does not matter for segment_sum).
+    cell_count = jax.ops.segment_sum(
+        valid.astype(jnp.int32), key,
+        num_segments=num_cells + 1)[:num_cells].astype(jnp.int32)
+
+    if align > 1:
+        # Padding pairs per cell: roundup(count) - count, keyed by the
+        # cell; appended AFTER the real pairs so the stable sort places
+        # them at each cell segment's end.
+        pad_per_cell = ((cell_count + (align - 1)) // align * align
+                        - cell_count)
+        pad_cap = (align - 1) * num_cells
+        pincl = jnp.cumsum(pad_per_cell)
+        q = jnp.arange(pad_cap, dtype=jnp.int32)
+        pcell = jnp.searchsorted(pincl, q, side="right").astype(jnp.int32)
+        pvalid = q < pincl[-1]
+        pad_key = jnp.where(pvalid,
+                            jnp.clip(pcell, 0, num_cells - 1), sentinel)
+        key = jnp.concatenate([key, pad_key.astype(jnp.int32)])
+        val = jnp.concatenate(
+            [val, jnp.full((pad_cap,), -1, dtype=jnp.int32)])
+        padded_count = cell_count + pad_per_cell
+    else:
+        padded_count = cell_count
+
     sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
 
-    ones = valid.astype(jnp.int32)
-    # histogram over sorted keys == histogram over unsorted keys
-    cell_count = jax.ops.segment_sum(
-        jnp.ones_like(sorted_key), sorted_key, num_segments=num_cells + 1,
-        indices_are_sorted=True)[:num_cells].astype(jnp.int32)
-    cell_offset = (jnp.cumsum(cell_count) - cell_count).astype(jnp.int32)
+    cell_offset = (jnp.cumsum(padded_count)
+                   - padded_count).astype(jnp.int32)
 
     return DeviceGrid(
         sorted_faces=sorted_val.astype(jnp.int32),
@@ -103,24 +131,26 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "capacity"))
+@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "align"))
 def build_perspective_grid(vertices, faces, camcoords, *,
-                           cfg: RenderConfig, capacity: int) -> DeviceGrid:
+                           cfg: RenderConfig, capacity: int,
+                           align: int = 1) -> DeviceGrid:
     """Perspective grid over camera clip space (buildGrid)."""
     r = binning.perspective_face_ranges(
         vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
         xp=jnp)
     z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
     gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
-    return _expand_and_sort(r, gz, cfg, capacity)
+    return _expand_and_sort(r, gz, cfg, capacity, align)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "capacity"))
+                   static_argnames=("cfg", "capacity", "align"))
 def build_spherical_grid(vertices, faces, camcoords, *,
                          cfg: RenderConfig, capacity: int,
                          x_max: float | None = None,
-                         y_max: float | None = None) -> DeviceGrid:
+                         y_max: float | None = None,
+                         align: int = 1) -> DeviceGrid:
     """Spherical light-centric grid (buildSphericalGrid); angular extent
     defaults to pi per main.cu:186-187."""
     x_max = cfg.angular_extent if x_max is None else x_max
@@ -130,7 +160,7 @@ def build_spherical_grid(vertices, faces, camcoords, *,
         x_max, y_max, cfg.quirks.y_forward_dot_typo, xp=jnp)
     z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
     gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
-    return _expand_and_sort(r, gz, cfg, capacity)
+    return _expand_and_sort(r, gz, cfg, capacity, align)
 
 
 def uniform_face_ranges(vertices, faces, aabb_min, aabb_max,

@@ -52,53 +52,36 @@ _ALIGN = 8  # sublane tiling — padded cell segments start at multiples
 
 
 class PaddedLayout(NamedTuple):
-    """8-aligned pair layout for DMA-friendly slab slicing."""
+    """DMA-ready triangle slab layout (one gather, no relocation)."""
 
-    tri_rows: jax.Array       # [cap8, 16] float32
-    padded_offset: jax.Array  # [num_cells] int32, multiples of 8
-    padded_faces: jax.Array   # [cap8] int32 face id per padded pair (-1 pad)
-
-
-def padded_capacity(cfg: RenderConfig, capacity: int) -> int:
-    return capacity + _ALIGN * cfg.num_cells + 2 * cfg.tri_batch
+    tri_rows: jax.Array      # [cap8, 128] float32 (cols 0:9 live)
+    padded_faces: jax.Array  # [cap8] int32 face id per pair (-1 pad)
 
 
 def pack_tri_data(vertices, faces, grid: DeviceGrid, eye,
                   cfg: RenderConfig) -> PaddedLayout:
-    """Gather triangle data into 8-aligned padded pair order.
+    """Gather triangle data in sorted-pair order, DMA-padded.
 
-    Rows hold (eye - v0, v1 - v0, v2 - v0) — the staging of
-    trace_kernel.cu:149-175.  Each cell's segment is relocated to start
-    at padded_offset[cell] (a multiple of 8); padding rows are zero and
-    masked by work counts.
+    Requires a grid built with align=8 (ugrt.grid.build, align arg): cell
+    segments already start at 8-aligned offsets with face=-1 padding rows
+    in place, so this is a single row gather — no scatter.  Rows hold
+    (eye - v0, v1 - v0, v2 - v0), the staging of trace_kernel.cu:149-175,
+    padded to 128 component lanes for Mosaic DMA alignment; two extra
+    triangle batches of rows guard the final partial slab.
     """
-    cap = grid.sorted_faces.shape[0]
-    cap8 = padded_capacity(cfg, cap)
-
     fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
-    v = vertices[faces[fidx]]            # [cap, 3, 3]
+    v = vertices[faces[fidx]]            # [cap8, 3, 3]
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
     tvec = eye[None, :] - v0
-    data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap, 9]
+    data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap8, 9]
 
-    counts = grid.cell_count
-    padded = ((counts + (_ALIGN - 1)) // _ALIGN) * _ALIGN
-    padded_offset = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-
-    keys = jnp.clip(grid.sorted_keys, 0, cfg.num_cells)  # sentinel -> num_cells
-    in_cell = keys < cfg.num_cells
-    keys_c = jnp.clip(keys, 0, cfg.num_cells - 1)
-    rank = jnp.arange(cap, dtype=jnp.int32) - grid.cell_offset[keys_c]
-    new_pos = jnp.where(in_cell, padded_offset[keys_c] + rank, cap8 - 1)
-
-    tri_rows = jnp.zeros((cap8, _TRI_COLS), dtype=jnp.float32)
-    tri_rows = tri_rows.at[new_pos, :9].set(
-        jnp.where(in_cell[:, None], data, 0.0))
-    padded_faces = jnp.full((cap8,), -1, dtype=jnp.int32).at[new_pos].set(
-        jnp.where(in_cell, grid.sorted_faces, -1))
-    return PaddedLayout(tri_rows, padded_offset, padded_faces)
+    guard = 2 * cfg.tri_batch
+    tri_rows = jnp.pad(data, ((0, guard), (0, _TRI_COLS - 9)))
+    padded_faces = jnp.pad(grid.sorted_faces, (0, guard),
+                           constant_values=-1)
+    return PaddedLayout(tri_rows, padded_faces)
 
 
 def _mt_block(tri, rays, count, cfg: RenderConfig):

@@ -230,19 +230,19 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     R = rays_t.shape[1]
 
     counts = jax.lax.dynamic_slice(grid.cell_count, (c0,), (cells_local,))
+    offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),
+                                    (cells_local,))
 
     wcap = cells_local + grid.sorted_faces.shape[0] // cfg.tri_batch
+    work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
+    tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
 
     if backend == "pallas":
+        # Requires the grid built with align=8 (DMA-aligned segments).
         from ugrt.trace import pallas_tracer
 
         layout = pallas_tracer.pack_tri_data(vertices, faces, grid, eye,
                                              cfg)
-        offsets = jax.lax.dynamic_slice(layout.padded_offset, (c0,),
-                                        (cells_local,))
-        work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
-        tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
-
         # rays as [T, 8, 128]: components on sublanes, rays on lanes
         # (padded to a full 128 lanes for DMA alignment).
         rays_T = jnp.pad(jnp.swapaxes(rays_t, 1, 2),
@@ -254,10 +254,6 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         pair_w = pair_w[:, :R]
         value_lookup = layout.padded_faces
     else:
-        offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),
-                                        (cells_local,))
-        work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
-        tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
         ray_blocks = rays_t[tile_of_work]                # [Wcap, R, 3]
         tmin_w, pair_w = _work_chunk_min(
             vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
