@@ -65,11 +65,13 @@ def main():
                        dtype=jnp.float32)
 
     chunk = 1024 if backend == "tpu" else 256
+    trace_backend = "pallas" if backend == "tpu" else "xla"
 
     def step(v, m):
         out = render_grad.render_and_grad(
             v, m, faces, mat_index, cc, lcc, lp, target, cfg=cfg,
-            capacity=cap, num_lights=1, use_spot=True, chunk_size=chunk)
+            capacity=cap, num_lights=1, use_spot=True, chunk_size=chunk,
+            trace_backend=trace_backend)
         return out["loss"], out["grad_vertices"], out["grad_materials"]
 
     # Warmup / compile.

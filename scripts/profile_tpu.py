@@ -42,18 +42,22 @@ lgrid = timeit("grid build (spherical)", build_s, verts)
 print("  light pairs:", int(lgrid.total_pairs))
 
 trace = jax.jit(lambda v, g: tprim.trace_primary(v, faces, cc, g, cfg, chunk_size=CH))
-prim = timeit("primary trace", trace, verts, grid)
+prim = timeit("primary trace (xla)", trace, verts, grid)
+build_p8 = jax.jit(lambda v: gbuild.build_perspective_grid(v, faces, cc, cfg=cfg, capacity=cap, align=8))
+grid8 = timeit("grid build (align=8)", build_p8, verts)
+trace_p = jax.jit(lambda v, g: tprim.trace_primary(v, faces, cc, g, cfg, backend="pallas"))
+prim = timeit("primary trace (pallas)", trace_p, verts, grid8)
 print("  hits:", int((prim["t"]>0).sum()))
 
 shad = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, chunk_size=CH)[0])
 sh = timeit("shadow pass", shad, verts, lgrid, prim)
 print("  shadowed:", int(sh.sum()))
 
-fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH))
+fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas"))
 timeit("full forward", fwd, verts, mats)
 
 target = jnp.zeros((1024,1024,3), jnp.float32)
 def step(v, m):
-    o = render_grad.render_and_grad(v, m, faces, mi, cc, lcc, lp, target, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH)
+    o = render_grad.render_and_grad(v, m, faces, mi, cc, lcc, lp, target, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas")
     return o["loss"], o["grad_vertices"]
 timeit("forward+backward", step, verts, mats)

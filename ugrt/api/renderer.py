@@ -65,10 +65,11 @@ def render_frame_device(vertices, faces, mat_index, materials,
     for li in range(num_lights):
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
-            vertices, faces, lcc, cfg=cfg, capacity=capacity)
+            vertices, faces, lcc, cfg=cfg, capacity=capacity,
+            align=8 if trace_backend == "pallas" else 1)
         sh, sh_ovf = tshadow.trace_shadow(
             vertices, faces, lcc, lgrid, primary, eye, cfg,
-            chunk_size=chunk_size)
+            chunk_size=chunk_size, backend=trace_backend)
         shadowed = jnp.maximum(shadowed, sh)
         overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc

@@ -49,9 +49,11 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     for li in range(num_lights):
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
-            vsg, faces, lcc, cfg=cfg, capacity=capacity)
+            vsg, faces, lcc, cfg=cfg, capacity=capacity,
+            align=8 if trace_backend == "pallas" else 1)
         sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye, cfg,
-                                     chunk_size=chunk_size)
+                                     chunk_size=chunk_size,
+                                     backend=trace_backend)
         shadowed = jnp.maximum(shadowed, sh)
         shade_cc = lcc
     shadowed = jax.lax.stop_gradient(shadowed)

@@ -128,6 +128,170 @@ def _mt_block(tri, rays, count, cfg: RenderConfig):
     return jnp.where(reject, jnp.float32(_BIG), t)
 
 
+def _shadow_block(tri, rays, count, nrays, cfg: RenderConfig):
+    """[B x R] occlusion test (intersectTri + isSmaller,
+    light_kernel.cu:13-50, :1-11).
+
+    tri: [B, 128] slab (tvec = L - v0); rays: [8, R] rows 0:3 shadow dir,
+    row 3 = dist(light, point).  Signed t, any t != 0 below 999999.9
+    accepts (negative included — the reference quirk); shadowed when
+    |occluder - L| + eps < dist.  Returns int32 [R] (OR over triangles).
+    """
+    B = tri.shape[0]
+    R = rays.shape[1]
+
+    def rrow(i):
+        return rays[i, :][None, :]
+
+    def tcol(i):
+        return tri[:, i][:, None]
+
+    dx, dy, dz = rrow(0), rrow(1), rrow(2)
+    dist_pt = rrow(3)
+    tvx, tvy, tvz = tcol(0), tcol(1), tcol(2)
+    e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
+    e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = 1.0 / det
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
+              | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
+              | (row >= count) | (lane >= nrays))
+    hit = (~reject) & (t != 0) & (t < jnp.float32(999999.9))
+    if not cfg.quirks.shadow_accept_negative_t:
+        hit = hit & (t > 0)
+
+    ox = t * dx
+    oy = t * dy
+    oz = t * dz
+    dist_occ = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+    sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon) < dist_pt)
+    return jnp.max(sh.astype(jnp.int32), axis=0)          # [R]
+
+
+def _shadow_sweep_kernel(offs_ref, cnts_ref, pkts_ref, prays_ref,
+                         tri_hbm, rays_hbm, sh_out, tri_vmem, ray_vmem,
+                         sems, *, cfg: RenderConfig, wchunk: int, B: int,
+                         R: int):
+    """Shadow work-item sweep (mod_light_rckernel analog)."""
+    pid = pl.program_id(0)
+
+    def tri_dma(slot, item):
+        off = pl.multiple_of(offs_ref[item], _ALIGN)
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(off, B), :], tri_vmem.at[slot],
+            sems.at[slot])
+
+    def ray_dma(slot, item):
+        return pltpu.make_async_copy(
+            rays_hbm.at[pkts_ref[item]], ray_vmem.at[slot],
+            sems.at[2 + slot])
+
+    first = pid * wchunk
+
+    @pl.when(cnts_ref[first] > 0)
+    def _():
+        tri_dma(0, first).start()
+        ray_dma(0, first).start()
+
+    def body(k, _):
+        item = first + k
+        cur = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when((k + 1 < wchunk) & (cnts_ref[item + 1] > 0))
+        def _():
+            tri_dma(nxt, item + 1).start()
+            ray_dma(nxt, item + 1).start()
+
+        @pl.when(cnts_ref[item] > 0)
+        def _():
+            tri_dma(cur, item).wait()
+            ray_dma(cur, item).wait()
+            sh_out[k, :] = _shadow_block(
+                tri_vmem[cur], ray_vmem[cur], cnts_ref[item],
+                prays_ref[item], cfg)
+
+        @pl.when(cnts_ref[item] == 0)
+        def _():
+            sh_out[k, :] = jnp.zeros((R,), dtype=jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, wchunk, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "wchunk", "interpret"))
+def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
+                        work_packet, work_prays, *, cfg: RenderConfig,
+                        wchunk: int = 8, interpret: bool = False):
+    """Per-work-item shadow flags via the Pallas kernel.
+
+    tri_rows: [cap8, 128] (tvec = light - v0); rays_pk: [Pcap, 8, 128]
+    packet ray blocks; work_*: [Wcap] int32.  Returns sh [Wcap, 128]
+    int32 (caller slices to the live ray count).
+    """
+    B = cfg.tri_batch
+    R = rays_pk.shape[2]
+    wcap = work_offset.shape[0]
+    n_prog = -(-wcap // wchunk)
+    pad = n_prog * wchunk - wcap
+
+    offs = jnp.pad(work_offset, (0, pad + 1))
+    cnts = jnp.pad(work_count, (0, pad + 1))
+    pkts = jnp.pad(work_packet, (0, pad + 1))
+    prays = jnp.pad(work_prays, (0, pad + 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((wchunk, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, _TRI_COLS), jnp.float32),
+            pltpu.VMEM((2, 8, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    kernel = functools.partial(_shadow_sweep_kernel, cfg=cfg,
+                               wchunk=wchunk, B=B, R=R)
+    (sh_out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_prog * wchunk, R), jnp.int32),
+        ],
+        interpret=interpret,
+    )(offs, cnts, pkts, prays, tri_rows, rays_pk)
+    return sh_out[:wcap]
+
+
+def pack_shadow_tri_data(vertices, faces, grid: DeviceGrid, light,
+                         cfg: RenderConfig) -> PaddedLayout:
+    """Like pack_tri_data but tvec = light - v0 (light_kernel.cu:144-146)."""
+    return pack_tri_data(vertices, faces, grid, light, cfg)
+
+
 def _sweep_kernel(offs_ref, cnts_ref, tiles_ref, tri_hbm, rays_hbm,
                   t_out, i_out, tri_vmem, ray_vmem, sems, *,
                   cfg: RenderConfig, wchunk: int, B: int, R: int):

@@ -113,7 +113,8 @@ def build_packets(cells, cfg: RenderConfig):
 def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                  primary, primary_eye, cfg: RenderConfig, *,
                  chunk_size: int = 256,
-                 work_factor: int = 2):
+                 work_factor: int = 2,
+                 backend: str = "xla", interpret: bool = False):
     """Per-pixel shadow flags [H, W] int32 (mod_light_rckernel semantics).
 
     Every pixel participates — including primary misses, whose 'hit point'
@@ -142,6 +143,22 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     NS = cfg.num_slabs
     R = cfg.max_rays_per_packet
     pcap = pk.packet_pos.shape[0]
+
+    if backend == "pallas":
+        # Packet ray blocks [Pcap, 8, 128]: rows 0:3 shadow dir, row 3 =
+        # light-to-point distance; lanes = rays (padded to 128 for DMA).
+        from ugrt.trace import pallas_tracer
+
+        layout = pallas_tracer.pack_tri_data(vertices, faces, light_grid,
+                                             L, cfg)
+        ray_lane0 = jnp.arange(R, dtype=jnp.int32)
+        ridx = jnp.clip(pk.packet_pos[:, None] + ray_lane0[None, :], 0,
+                        n - 1)
+        d_pk = jnp.swapaxes(sh_dirs[ridx], 1, 2)      # [Pcap, 3, R]
+        dist_pk = dist_pt[ridx][:, None, :]           # [Pcap, 1, R]
+        rays_pk = jnp.pad(
+            jnp.concatenate([d_pk, dist_pk], axis=1),
+            ((0, 0), (0, 4), (0, 128 - R)))           # [Pcap, 8, 128]
 
     shadowed_sorted = jnp.zeros((n,), dtype=jnp.int32)
 
@@ -220,18 +237,26 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             return jax.lax.cond(jnp.any(args[1] > 0), chunk_body, dead,
                                 args)
 
-        n_chunks = -(-wcap // chunk_size)
-        pad = n_chunks * chunk_size - wcap
+        if backend == "pallas":
+            sh_i = pallas_tracer.shadow_sweep_pallas(
+                layout.tri_rows, rays_pk, w_off.astype(jnp.int32),
+                w_cnt.astype(jnp.int32), pkt_c.astype(jnp.int32),
+                (pk.packet_count[pkt_c] * wvalid).astype(jnp.int32),
+                cfg=cfg, interpret=interpret)
+            sh = sh_i[:, :R] > 0                                # [Wcap, R]
+        else:
+            n_chunks = -(-wcap // chunk_size)
+            pad = n_chunks * chunk_size - wcap
 
-        def pad0(x):
-            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+            def pad0(x):
+                return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-        xs = (pad0(w_off).reshape(n_chunks, chunk_size),
-              pad0(w_cnt).reshape(n_chunks, chunk_size),
-              pad0(pk.packet_pos[pkt_c]).reshape(n_chunks, chunk_size),
-              pad0(pk.packet_count[pkt_c] * wvalid).reshape(
-                  n_chunks, chunk_size))
-        sh = jax.lax.map(chunk_fn, xs).reshape(-1, R)[:wcap]  # [Wcap, R]
+            xs = (pad0(w_off).reshape(n_chunks, chunk_size),
+                  pad0(w_cnt).reshape(n_chunks, chunk_size),
+                  pad0(pk.packet_pos[pkt_c]).reshape(n_chunks, chunk_size),
+                  pad0(pk.packet_count[pkt_c] * wvalid).reshape(
+                      n_chunks, chunk_size))
+            sh = jax.lax.map(chunk_fn, xs).reshape(-1, R)[:wcap]
 
         # Scatter-max into sorted ray order.
         positions = jnp.clip(pk.packet_pos[pkt_c][:, None]
