@@ -50,7 +50,13 @@ prim = timeit("primary trace (pallas)", trace_p, verts, grid8)
 print("  hits:", int((prim["t"]>0).sum()))
 
 shad = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, chunk_size=CH)[0])
-sh = timeit("shadow pass", shad, verts, lgrid, prim)
+sh = timeit("shadow pass (xla)", shad, verts, lgrid, prim)
+build_s8 = jax.jit(lambda v: gbuild.build_spherical_grid(v, faces, lcc_single, cfg=cfg, capacity=cap, align=8))
+lgrid8 = timeit("grid build (sph align8)", build_s8, verts)
+shad_p = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, backend="pallas")[0])
+sh2 = timeit("shadow pass (pallas)", shad_p, verts, lgrid8, prim)
+import numpy as _np
+print("  shadow match:", _np.array_equal(_np.asarray(sh), _np.asarray(sh2)), int(sh2.sum()))
 print("  shadowed:", int(sh.sum()))
 
 fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas"))

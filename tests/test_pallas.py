@@ -1,0 +1,80 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU backend)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ugrt.core import camera as cam
+from ugrt.grid import build as gbuild
+from ugrt.trace import primary as tprim
+from ugrt.trace import shadow as tshadow
+
+
+def _cc(spec, cfg):
+    return jnp.asarray(cam.camcoords_from_spec(
+        spec, cfg.fovy_deg, cfg.screen_width / cfg.screen_height))
+
+
+def test_pallas_primary_matches_xla(small_cfg, cornell, generic_camera):
+    cfg = small_cfg
+    cc = _cc(generic_camera, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces)
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    grid8 = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap,
+                                          align=8)
+    res_x = tprim.trace_primary(v, f, cc, grid8, cfg)
+    res_p = tprim.trace_primary(v, f, cc, grid8, cfg, backend="pallas",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(res_p["face_id"]),
+                                  np.asarray(res_x["face_id"]))
+    np.testing.assert_array_equal(np.asarray(res_p["t"]),
+                                  np.asarray(res_x["t"]))
+
+
+def test_aligned_grid_matches_unaligned_semantics(small_cfg, cornell,
+                                                  generic_camera):
+    """align=8 only relocates segments; per-cell real contents match."""
+    cfg = small_cfg
+    cc = _cc(generic_camera, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces)
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    g1 = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap)
+    g8 = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap,
+                                       align=8)
+    np.testing.assert_array_equal(np.asarray(g1.cell_count),
+                                  np.asarray(g8.cell_count))
+    c1 = np.asarray(g1.cell_count)
+    o1 = np.asarray(g1.cell_offset)
+    o8 = np.asarray(g8.cell_offset)
+    s1 = np.asarray(g1.sorted_faces)
+    s8 = np.asarray(g8.sorted_faces)
+    assert (o8 % 8 == 0).all()
+    for c in range(0, cfg.num_cells, 37):  # sample cells
+        n = c1[c]
+        np.testing.assert_array_equal(s1[o1[c]:o1[c] + n],
+                                      s8[o8[c]:o8[c] + n])
+
+
+def test_pallas_shadow_matches_xla(small_cfg, cornell, generic_camera,
+                                   generic_light):
+    cfg = small_cfg
+    cc = _cc(generic_camera, cfg)
+    lcc = _cc(generic_light, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces)
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap)
+    prim = tprim.trace_primary(v, f, cc, grid, cfg)
+
+    lg1 = gbuild.build_spherical_grid(v, f, lcc, cfg=cfg, capacity=cap)
+    sh_x, _ = tshadow.trace_shadow(v, f, lcc, lg1, prim, cc[:3], cfg)
+
+    lg8 = gbuild.build_spherical_grid(v, f, lcc, cfg=cfg, capacity=cap,
+                                      align=8)
+    sh_p, _ = tshadow.trace_shadow(v, f, lcc, lg8, prim, cc[:3], cfg,
+                                   backend="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(sh_x), np.asarray(sh_p))
