@@ -128,12 +128,13 @@ def _mt_block(tri, rays, count, cfg: RenderConfig):
     return jnp.where(reject, jnp.float32(_BIG), t)
 
 
-def _shadow_block(tri, rays, count, nrays, cfg: RenderConfig):
+def _shadow_block(tri, rays, count, cfg: RenderConfig):
     """[B x R] occlusion test (intersectTri + isSmaller,
     light_kernel.cu:13-50, :1-11).
 
     tri: [B, 128] slab (tvec = L - v0); rays: [8, R] rows 0:3 shadow dir,
-    row 3 = dist(light, point).  Signed t, any t != 0 below 999999.9
+    row 3 = dist(light, point), row 4 = live-ray mask (1.0 for lanes
+    below the packet's ray count).  Signed t, any t != 0 below 999999.9
     accepts (negative included — the reference quirk); shadowed when
     |occluder - L| + eps < dist.  Returns int32 [R] (OR over triangles).
     """
@@ -148,6 +149,7 @@ def _shadow_block(tri, rays, count, nrays, cfg: RenderConfig):
 
     dx, dy, dz = rrow(0), rrow(1), rrow(2)
     dist_pt = rrow(3)
+    live_ray = rrow(4) > 0
     tvx, tvy, tvz = tcol(0), tcol(1), tcol(2)
     e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
     e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
@@ -165,10 +167,9 @@ def _shadow_block(tri, rays, count, nrays, cfg: RenderConfig):
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
 
     row = jax.lax.broadcasted_iota(jnp.int32, (B, R), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
     reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
-              | (row >= count) | (lane >= nrays))
+              | (row >= count) | ~live_ray)
     hit = (~reject) & (t != 0) & (t < jnp.float32(999999.9))
     if not cfg.quirks.shadow_accept_negative_t:
         hit = hit & (t > 0)
@@ -181,17 +182,27 @@ def _shadow_block(tri, rays, count, nrays, cfg: RenderConfig):
     return jnp.max(sh.astype(jnp.int32), axis=0)          # [R]
 
 
-def _shadow_sweep_kernel(offs_ref, cnts_ref, pkts_ref, prays_ref,
-                         tri_hbm, rays_hbm, sh_out, tri_vmem, ray_vmem,
-                         sems, *, cfg: RenderConfig, wchunk: int, B: int,
-                         R: int):
-    """Shadow work-item sweep (mod_light_rckernel analog)."""
+def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
+                         sh_out, tri_vmem, ray_vmem, sems, *,
+                         cfg: RenderConfig, wchunk: int, B: int, R: int):
+    """Shadow work-item sweep (mod_light_rckernel analog).
+
+    Scalar budget: SMEM is ~1 MB, so per-item descriptors are packed into
+    TWO int32 arrays — packed = (offset // 8) * 256 + count (offset is
+    8-aligned by construction) and the packet id; the per-packet ray
+    count travels as a lane mask inside the rays block.
+    """
     pid = pl.program_id(0)
 
+    def off_of(item):
+        return pl.multiple_of((packed_ref[item] // 256) * _ALIGN, _ALIGN)
+
+    def cnt_of(item):
+        return jax.lax.rem(packed_ref[item], 256)
+
     def tri_dma(slot, item):
-        off = pl.multiple_of(offs_ref[item], _ALIGN)
         return pltpu.make_async_copy(
-            tri_hbm.at[pl.ds(off, B), :], tri_vmem.at[slot],
+            tri_hbm.at[pl.ds(off_of(item), B), :], tri_vmem.at[slot],
             sems.at[slot])
 
     def ray_dma(slot, item):
@@ -201,7 +212,7 @@ def _shadow_sweep_kernel(offs_ref, cnts_ref, pkts_ref, prays_ref,
 
     first = pid * wchunk
 
-    @pl.when(cnts_ref[first] > 0)
+    @pl.when(cnt_of(first) > 0)
     def _():
         tri_dma(0, first).start()
         ray_dma(0, first).start()
@@ -211,20 +222,19 @@ def _shadow_sweep_kernel(offs_ref, cnts_ref, pkts_ref, prays_ref,
         cur = jax.lax.rem(k, 2)
         nxt = jax.lax.rem(k + 1, 2)
 
-        @pl.when((k + 1 < wchunk) & (cnts_ref[item + 1] > 0))
+        @pl.when((k + 1 < wchunk) & (cnt_of(item + 1) > 0))
         def _():
             tri_dma(nxt, item + 1).start()
             ray_dma(nxt, item + 1).start()
 
-        @pl.when(cnts_ref[item] > 0)
+        @pl.when(cnt_of(item) > 0)
         def _():
             tri_dma(cur, item).wait()
             ray_dma(cur, item).wait()
             sh_out[k, :] = _shadow_block(
-                tri_vmem[cur], ray_vmem[cur], cnts_ref[item],
-                prays_ref[item], cfg)
+                tri_vmem[cur], ray_vmem[cur], cnt_of(item), cfg)
 
-        @pl.when(cnts_ref[item] == 0)
+        @pl.when(cnt_of(item) == 0)
         def _():
             sh_out[k, :] = jnp.zeros((R,), dtype=jnp.int32)
 
@@ -236,13 +246,13 @@ def _shadow_sweep_kernel(offs_ref, cnts_ref, pkts_ref, prays_ref,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "wchunk", "interpret"))
 def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
-                        work_packet, work_prays, *, cfg: RenderConfig,
+                        work_packet, *, cfg: RenderConfig,
                         wchunk: int = 8, interpret: bool = False):
     """Per-work-item shadow flags via the Pallas kernel.
 
     tri_rows: [cap8, 128] (tvec = light - v0); rays_pk: [Pcap, 8, 128]
-    packet ray blocks; work_*: [Wcap] int32.  Returns sh [Wcap, 128]
-    int32 (caller slices to the live ray count).
+    packet ray blocks (row 4 = live-lane mask); work_*: [Wcap] int32.
+    Returns sh [Wcap, 128] int32 (caller slices to the live ray count).
     """
     B = cfg.tri_batch
     R = rays_pk.shape[2]
@@ -250,13 +260,12 @@ def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
     n_prog = -(-wcap // wchunk)
     pad = n_prog * wchunk - wcap
 
-    offs = jnp.pad(work_offset, (0, pad + 1))
-    cnts = jnp.pad(work_count, (0, pad + 1))
+    packed = (work_offset // _ALIGN) * 256 + jnp.clip(work_count, 0, 255)
+    packed = jnp.pad(packed.astype(jnp.int32), (0, pad + 1))
     pkts = jnp.pad(work_packet, (0, pad + 1))
-    prays = jnp.pad(work_prays, (0, pad + 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -282,7 +291,7 @@ def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
             jax.ShapeDtypeStruct((n_prog * wchunk, R), jnp.int32),
         ],
         interpret=interpret,
-    )(offs, cnts, pkts, prays, tri_rows, rays_pk)
+    )(packed, pkts, tri_rows, rays_pk)
     return sh_out[:wcap]
 
 

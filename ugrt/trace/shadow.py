@@ -156,9 +156,12 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                         n - 1)
         d_pk = jnp.swapaxes(sh_dirs[ridx], 1, 2)      # [Pcap, 3, R]
         dist_pk = dist_pt[ridx][:, None, :]           # [Pcap, 1, R]
+        live_pk = (ray_lane0[None, :]
+                   < pk.packet_count[:, None]).astype(
+                       jnp.float32)[:, None, :]       # [Pcap, 1, R]
         rays_pk = jnp.pad(
-            jnp.concatenate([d_pk, dist_pk], axis=1),
-            ((0, 0), (0, 4), (0, 128 - R)))           # [Pcap, 8, 128]
+            jnp.concatenate([d_pk, dist_pk, live_pk], axis=1),
+            ((0, 0), (0, 3), (0, 128 - R)))           # [Pcap, 8, 128]
 
     shadowed_sorted = jnp.zeros((n,), dtype=jnp.int32)
 
@@ -177,8 +180,10 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         # Each packet needs >= 1 batch; extra batches are bounded by the
         # packet's cell depth.  work_factor x pcap covers cells up to
         # work_factor batches deep on average (overflow flag otherwise).
-        wcap = (work_factor * pcap
-                + light_grid.sorted_faces.shape[0] // B)
+        # The pallas path keeps the smaller factor so its packed scalar
+        # descriptors fit SMEM.
+        wf = 1 if backend == "pallas" else work_factor
+        wcap = wf * pcap + light_grid.sorted_faces.shape[0] // B
 
         w = jnp.arange(wcap, dtype=jnp.int32)
         pkt = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
@@ -241,7 +246,6 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             sh_i = pallas_tracer.shadow_sweep_pallas(
                 layout.tri_rows, rays_pk, w_off.astype(jnp.int32),
                 w_cnt.astype(jnp.int32), pkt_c.astype(jnp.int32),
-                (pk.packet_count[pkt_c] * wvalid).astype(jnp.int32),
                 cfg=cfg, interpret=interpret)
             sh = sh_i[:, :R] > 0                                # [Wcap, R]
         else:
