@@ -243,8 +243,11 @@ def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
     jax.lax.fori_loop(0, wchunk, body, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "wchunk", "interpret"))
+# Scalar-prefetch SMEM budget: two int32 arrays per sweep call; slices
+# keep each call's descriptors comfortably under SMEM capacity.
+_SWEEP_SLICE = 32768
+
+
 def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
                         work_packet, *, cfg: RenderConfig,
                         wchunk: int = 8, interpret: bool = False):
@@ -253,7 +256,28 @@ def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
     tri_rows: [cap8, 128] (tvec = light - v0); rays_pk: [Pcap, 8, 128]
     packet ray blocks (row 4 = live-lane mask); work_*: [Wcap] int32.
     Returns sh [Wcap, 128] int32 (caller slices to the live ray count).
+    Large work lists are processed in SMEM-safe slices.
     """
+    wcap = work_offset.shape[0]
+    if wcap > _SWEEP_SLICE:
+        outs = []
+        for s in range(0, wcap, _SWEEP_SLICE):
+            e = min(s + _SWEEP_SLICE, wcap)
+            outs.append(_shadow_sweep_call(
+                tri_rows, rays_pk, work_offset[s:e], work_count[s:e],
+                work_packet[s:e], cfg=cfg, wchunk=wchunk,
+                interpret=interpret))
+        return jnp.concatenate(outs, axis=0)
+    return _shadow_sweep_call(tri_rows, rays_pk, work_offset, work_count,
+                              work_packet, cfg=cfg, wchunk=wchunk,
+                              interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "wchunk", "interpret"))
+def _shadow_sweep_call(tri_rows, rays_pk, work_offset, work_count,
+                       work_packet, *, cfg: RenderConfig,
+                       wchunk: int = 8, interpret: bool = False):
     B = cfg.tri_batch
     R = rays_pk.shape[2]
     wcap = work_offset.shape[0]

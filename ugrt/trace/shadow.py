@@ -180,10 +180,8 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         # Each packet needs >= 1 batch; extra batches are bounded by the
         # packet's cell depth.  work_factor x pcap covers cells up to
         # work_factor batches deep on average (overflow flag otherwise).
-        # The pallas path keeps the smaller factor so its packed scalar
-        # descriptors fit SMEM.
-        wf = 1 if backend == "pallas" else work_factor
-        wcap = wf * pcap + light_grid.sorted_faces.shape[0] // B
+        wcap = (work_factor * pcap
+                + light_grid.sorted_faces.shape[0] // B)
 
         w = jnp.arange(wcap, dtype=jnp.int32)
         pkt = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
