@@ -116,7 +116,23 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
     else:
         padded_count = cell_count
 
-    sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
+    # Single-key packed sort when (cell, face) fits 32 bits: the radix
+    # analog of CUDPP's kv sort at roughly half the cost.  Real faces
+    # sort ascending within a cell (matching the stable kv sort) and the
+    # padding marker (all-ones) sorts after them.
+    key_bits = max(int(num_cells + 1).bit_length(), 1)
+    face_bits = 32 - key_bits
+    num_faces_total = ranges["counts"].shape[0]
+    if 0 < face_bits and num_faces_total < (1 << face_bits) - 1:
+        marker = (1 << face_bits) - 1
+        face_code = jnp.where(val >= 0, val, marker).astype(jnp.uint32)
+        packed = ((key.astype(jnp.uint32) << face_bits) | face_code)
+        packed = jax.lax.sort(packed)
+        sorted_key = (packed >> face_bits).astype(jnp.int32)
+        fc = (packed & jnp.uint32(marker)).astype(jnp.int32)
+        sorted_val = jnp.where(fc == marker, -1, fc)
+    else:
+        sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
 
     cell_offset = (jnp.cumsum(padded_count)
                    - padded_count).astype(jnp.int32)
