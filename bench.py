@@ -23,7 +23,14 @@ NOMINAL_BASELINE = 1.0e8  # rays/s/chip fwd+bwd (self-set target)
 
 
 def main():
+    import os
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

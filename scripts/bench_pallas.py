@@ -1,5 +1,5 @@
 """Compare XLA vs Pallas primary trace on the real TPU."""
-import sys; sys.path.insert(0, "/root/repo")
+import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,5 +1,5 @@
 """Per-stage timing on the real TPU chip."""
-import sys; sys.path.insert(0, "/root/repo")
+import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
 import time, dataclasses
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,5 +1,5 @@
 """Render sample images (visual baseline, like the reference's results/)."""
-import sys; sys.path.insert(0, "/root/repo")
+import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
 import dataclasses
 import time
 
