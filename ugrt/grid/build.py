@@ -10,9 +10,9 @@ Here the whole build is one fused, statically-shaped jitted graph:
 
   counts  — vmapped binning (ugrt.grid.binning)
   z-range — on-device masked min/max (no host roundtrip)
-  expand  — searchsorted-based ragged expansion into a static-capacity
-            pair buffer (replaces DSFillkernel's nested scatter loops;
-            no scatter at all)
+  expand  — segment-id ragged expansion (scatter-add + cumsum,
+            ugrt.core.ragged) into a static-capacity pair buffer
+            (replaces DSFillkernel's nested scatter loops)
   sort    — jax.lax.sort key-value (stable, like CUDPP radix sort)
   CSR     — segment_sum histogram + exclusive cumsum
 
@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ugrt.config import RenderConfig
+from ugrt.core.ragged import segment_ids_from_starts
 from ugrt.grid import binning
 
 
@@ -76,9 +77,8 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
     offsets = incl - counts
 
     p = jnp.arange(capacity, dtype=jnp.int32)
-    face = jnp.searchsorted(incl, p, side="right").astype(jnp.int32)
+    face_c = segment_ids_from_starts(offsets, capacity)
     valid = p < total
-    face_c = jnp.clip(face, 0, counts.shape[0] - 1)
 
     k = p - offsets[face_c]
     sy = size_y[face_c]
@@ -105,10 +105,9 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
         pad_cap = (align - 1) * num_cells
         pincl = jnp.cumsum(pad_per_cell)
         q = jnp.arange(pad_cap, dtype=jnp.int32)
-        pcell = jnp.searchsorted(pincl, q, side="right").astype(jnp.int32)
+        pcell = segment_ids_from_starts(pincl - pad_per_cell, pad_cap)
         pvalid = q < pincl[-1]
-        pad_key = jnp.where(pvalid,
-                            jnp.clip(pcell, 0, num_cells - 1), sentinel)
+        pad_key = jnp.where(pvalid, pcell, sentinel)
         key = jnp.concatenate([key, pad_key.astype(jnp.int32)])
         val = jnp.concatenate(
             [val, jnp.full((pad_cap,), -1, dtype=jnp.int32)])
@@ -228,9 +227,8 @@ def build_uniform_grid(vertices, faces, aabb_min, aabb_max, *,
     offsets = incl - counts
 
     p = jnp.arange(capacity, dtype=jnp.int32)
-    face = jnp.searchsorted(incl, p, side="right").astype(jnp.int32)
+    face_c = segment_ids_from_starts(offsets, capacity)
     valid = p < total
-    face_c = jnp.clip(face, 0, counts.shape[0] - 1)
 
     k = p - offsets[face_c]
     syz = sy[face_c] * sz[face_c]

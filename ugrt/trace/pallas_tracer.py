@@ -128,13 +128,15 @@ def _mt_block(tri, rays, count, cfg: RenderConfig):
     return jnp.where(reject, jnp.float32(_BIG), t)
 
 
-def _shadow_block(tri, rays, count, cfg: RenderConfig):
+def _shadow_block(tri, rays, count, cell, cfg: RenderConfig):
     """[B x R] occlusion test (intersectTri + isSmaller,
     light_kernel.cu:13-50, :1-11).
 
     tri: [B, 128] slab (tvec = L - v0); rays: [8, R] rows 0:3 shadow dir,
-    row 3 = dist(light, point), row 4 = live-ray mask (1.0 for lanes
-    below the packet's ray count).  Signed t, any t != 0 below 999999.9
+    row 3 = dist(light, point), row 4 = the ray's light-cell id (f32).
+    cell: this work item's cell id (int32 scalar) — lanes whose cell
+    differs are masked, which is how a fixed 64-ray block spanning
+    several cell runs stays exact.  Signed t, any t != 0 below 999999.9
     accepts (negative included — the reference quirk); shadowed when
     |occluder - L| + eps < dist.  Returns int32 [R] (OR over triangles).
     """
@@ -149,7 +151,7 @@ def _shadow_block(tri, rays, count, cfg: RenderConfig):
 
     dx, dy, dz = rrow(0), rrow(1), rrow(2)
     dist_pt = rrow(3)
-    live_ray = rrow(4) > 0
+    live_ray = rrow(4) == cell.astype(jnp.float32)
     tvx, tvy, tvz = tcol(0), tcol(1), tcol(2)
     e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
     e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
@@ -182,15 +184,15 @@ def _shadow_block(tri, rays, count, cfg: RenderConfig):
     return jnp.max(sh.astype(jnp.int32), axis=0)          # [R]
 
 
-def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
+def _shadow_sweep_kernel(packed_ref, blkcell_ref, tri_hbm, rays_hbm,
                          sh_out, tri_vmem, ray_vmem, sems, *,
                          cfg: RenderConfig, wchunk: int, B: int, R: int):
     """Shadow work-item sweep (mod_light_rckernel analog).
 
     Scalar budget: SMEM is ~1 MB, so per-item descriptors are packed into
     TWO int32 arrays — packed = (offset // 8) * 256 + count (offset is
-    8-aligned by construction) and the packet id; the per-packet ray
-    count travels as a lane mask inside the rays block.
+    8-aligned by construction, count <= tri_batch <= 255) and
+    blkcell = block * 32768 + cell (cell < 2^15, block <= 2^14).
     """
     pid = pl.program_id(0)
 
@@ -200,6 +202,12 @@ def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
     def cnt_of(item):
         return jax.lax.rem(packed_ref[item], 256)
 
+    def blk_of(item):
+        return blkcell_ref[item] // 32768
+
+    def cell_of(item):
+        return jax.lax.rem(blkcell_ref[item], 32768)
+
     def tri_dma(slot, item):
         return pltpu.make_async_copy(
             tri_hbm.at[pl.ds(off_of(item), B), :], tri_vmem.at[slot],
@@ -207,7 +215,7 @@ def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
 
     def ray_dma(slot, item):
         return pltpu.make_async_copy(
-            rays_hbm.at[pkts_ref[item]], ray_vmem.at[slot],
+            rays_hbm.at[blk_of(item)], ray_vmem.at[slot],
             sems.at[2 + slot])
 
     first = pid * wchunk
@@ -232,7 +240,8 @@ def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
             tri_dma(cur, item).wait()
             ray_dma(cur, item).wait()
             sh_out[k, :] = _shadow_block(
-                tri_vmem[cur], ray_vmem[cur], cnt_of(item), cfg)
+                tri_vmem[cur], ray_vmem[cur], cnt_of(item),
+                cell_of(item), cfg)
 
         @pl.when(cnt_of(item) == 0)
         def _():
@@ -248,13 +257,13 @@ def _shadow_sweep_kernel(packed_ref, pkts_ref, tri_hbm, rays_hbm,
 _SWEEP_SLICE = 32768
 
 
-def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
-                        work_packet, *, cfg: RenderConfig,
+def shadow_sweep_pallas(tri_rows, rays_blk, work_offset, work_count,
+                        work_block, work_cell, *, cfg: RenderConfig,
                         wchunk: int = 8, interpret: bool = False):
     """Per-work-item shadow flags via the Pallas kernel.
 
-    tri_rows: [cap8, 128] (tvec = light - v0); rays_pk: [Pcap, 8, 128]
-    packet ray blocks (row 4 = live-lane mask); work_*: [Wcap] int32.
+    tri_rows: [cap8, 128] (tvec = light - v0); rays_blk: [NB+1, 8, 128]
+    sorted-stream ray blocks (row 4 = ray cell id); work_*: [Wcap] int32.
     Returns sh [Wcap, 128] int32 (caller slices to the live ray count).
     Large work lists are processed in SMEM-safe slices.
     """
@@ -264,29 +273,29 @@ def shadow_sweep_pallas(tri_rows, rays_pk, work_offset, work_count,
         for s in range(0, wcap, _SWEEP_SLICE):
             e = min(s + _SWEEP_SLICE, wcap)
             outs.append(_shadow_sweep_call(
-                tri_rows, rays_pk, work_offset[s:e], work_count[s:e],
-                work_packet[s:e], cfg=cfg, wchunk=wchunk,
+                tri_rows, rays_blk, work_offset[s:e], work_count[s:e],
+                work_block[s:e], work_cell[s:e], cfg=cfg, wchunk=wchunk,
                 interpret=interpret))
         return jnp.concatenate(outs, axis=0)
-    return _shadow_sweep_call(tri_rows, rays_pk, work_offset, work_count,
-                              work_packet, cfg=cfg, wchunk=wchunk,
-                              interpret=interpret)
+    return _shadow_sweep_call(tri_rows, rays_blk, work_offset, work_count,
+                              work_block, work_cell, cfg=cfg,
+                              wchunk=wchunk, interpret=interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "wchunk", "interpret"))
-def _shadow_sweep_call(tri_rows, rays_pk, work_offset, work_count,
-                       work_packet, *, cfg: RenderConfig,
+def _shadow_sweep_call(tri_rows, rays_blk, work_offset, work_count,
+                       work_block, work_cell, *, cfg: RenderConfig,
                        wchunk: int = 8, interpret: bool = False):
     B = cfg.tri_batch
-    R = rays_pk.shape[2]
+    R = rays_blk.shape[2]
     wcap = work_offset.shape[0]
     n_prog = -(-wcap // wchunk)
     pad = n_prog * wchunk - wcap
 
     packed = (work_offset // _ALIGN) * 256 + jnp.clip(work_count, 0, 255)
     packed = jnp.pad(packed.astype(jnp.int32), (0, pad + 1))
-    pkts = jnp.pad(work_packet, (0, pad + 1))
+    pkts = jnp.pad(work_block * 32768 + work_cell, (0, pad + 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -315,7 +324,7 @@ def _shadow_sweep_call(tri_rows, rays_pk, work_offset, work_count,
             jax.ShapeDtypeStruct((n_prog * wchunk, R), jnp.int32),
         ],
         interpret=interpret,
-    )(packed, pkts, tri_rows, rays_pk)
+    )(packed, pkts, tri_rows, rays_blk)
     return sh_out[:wcap]
 
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ugrt.config import RenderConfig
 from ugrt.core import camera as cam
+from ugrt.core.ragged import segment_ids_from_starts
 from ugrt.core.vecmath import cross, dot, normalize, transform_point
 from ugrt.grid.build import DeviceGrid
 
@@ -57,7 +58,7 @@ def work_capacity(cfg: RenderConfig, pair_capacity: int) -> int:
 
 
 def make_work_items(counts, offsets, batch: int, wcap: int) -> WorkItems:
-    """Ragged CSR -> dense work items by searchsorted expansion.
+    """Ragged CSR -> dense work items by segment-id expansion.
 
     counts/offsets: per-cell CSR arrays (may be a contiguous slice of the
     full grid when tracing a sharded strip).  Padding items get cell ==
@@ -69,9 +70,8 @@ def make_work_items(counts, offsets, batch: int, wcap: int) -> WorkItems:
     incl = jnp.cumsum(nb)
 
     w = jnp.arange(wcap, dtype=jnp.int32)
-    cell = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
+    cell_c = segment_ids_from_starts(incl - nb, wcap)
     valid = w < incl[-1]
-    cell_c = jnp.clip(cell, 0, num_cells - 1)
 
     b = w - (incl - nb)[cell_c]
     offset = offsets[cell_c] + b * B

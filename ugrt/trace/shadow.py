@@ -1,4 +1,4 @@
-"""Shadow pass: light-grid ray packetization + occlusion trace.
+"""Shadow pass: light-grid ray scheduling + occlusion trace.
 
 The reference reorders shadow rays by their light-grid cell with a 6-step
 CUDPP pipeline — radix sort, segment-head flags, segmented scan,
@@ -7,26 +7,37 @@ decision_data.h:171-271 and misc_kernel.cu:255-333) — then traces one CUDA
 block per ray packet streaming the cell's triangle list through shared
 memory (mod_light_rckernel, light_kernel.cu:52-270).
 
-The TPU-native formulation is the same algorithm as one fused XLA graph:
+The TPU-native formulation keeps the insight (sorting shadow rays by
+light-grid cell makes them coherent) but replaces the reference's
+variable-offset packets with **fixed 64-ray blocks of the sorted stream**:
 
   cells    — per-ray light-cell id (ugrt.grid.binning.ray_light_cells)
   sort     — lax.sort (cell, ray) pairs, stable (== 15-bit CUDPP radix,
-             decision_data.h:177: keys max out at the 16384 sentinel)
-  ranks    — head flags + cummax-based segmented rank (replaces
-             blockScan + cudppSegmentedScan)
-  packets  — rank % 64 == 1 starts (preStreamCompaction semantics,
-             misc_kernel.cu:316-325); compaction by sorting marked
-             positions (replaces tag_thread + cudppCompact)
-  work     — (packet, tri-batch) items, searchsorted-expanded, each a
-             dense 64-ray x B-triangle Möller–Trumbore block
-  combine  — scatter-max of per-ray occlusion back through the sort
-             permutation
+             decision_data.h:177)
+  blocks   — the sorted stream reshaped into [N/64, 64]: block b = rays
+             [64b, 64b+64).  No compaction, no packet-start marking, no
+             ragged gather — packets become a reshape.
+  segments — cell runs in the sorted stream (head flags + cumsum); each
+             segment knows which blocks it overlaps
+  work     — (block, cell, tri-batch) items: a block spanning k cell runs
+             is swept against each run's triangle batches, with rays
+             masked to their own cell (lane mask = ray_cell == item_cell)
+  combine  — segment-max over work items -> per-block flags -> reshape
+             back through the sort permutation
+
+Results are identical to the reference's packet scheme: every ray is
+tested against exactly its own cell's triangle list.  The reference's
+cell-pure packets are still available as ``build_packets`` (the
+DecisionData-parity component); the renderer path uses block scheduling
+because it is allocation-exact (N/64 blocks, no cells+N/64 packet
+overallocation) and turns the per-packet ray gather — 4M scattered row
+reads, ~60 ms/frame at 1024x1024 on v5e — into a reshape.
 
 Divergence (defined semantics, SURVEY.md §3.5): rays whose shadow
 direction leaves the light grid get the sentinel cell and the reference
 then indexes its span array OUT OF BOUNDS for those packets
 (light_kernel.cu:111 with cell 16384 into a 16384-entry array) — undefined
-behavior.  Here sentinel packets are skipped: such rays are never
+behavior.  Here sentinel segments produce no work: such rays are never
 shadowed.
 """
 
@@ -38,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from ugrt.config import RenderConfig
+from ugrt.core.ragged import segment_ids_from_starts
 from ugrt.core.vecmath import dot, normalize
 from ugrt.grid import binning
 from ugrt.grid.build import DeviceGrid
@@ -61,6 +73,12 @@ def packet_capacity(cfg: RenderConfig, num_rays: int) -> int:
 
 def build_packets(cells, cfg: RenderConfig):
     """Sort rays by light cell and carve 64-ray cell-pure packets.
+
+    This is the faithful DecisionData 6-step pipeline (decision_data.h:
+    171-271): sort -> head flags -> segmented rank (cummax) -> rank%64==1
+    packet starts -> compaction by sorting marked positions.  The hot
+    render path uses block scheduling (trace_shadow) instead; this stays
+    as the reference-parity component and for packet-level analysis.
 
     cells: [N] int32 light-cell ids (cfg.cell_sentinel = out of grid).
     Returns (sorted_ray [N] int32 original ray index, ShadowWork).
@@ -110,10 +128,24 @@ def build_packets(cells, cfg: RenderConfig):
     return sorted_ray, work
 
 
+def shadow_work_capacity(cfg: RenderConfig, num_rays: int,
+                         pair_capacity: int) -> int:
+    """Static bound on (block, cell-run, tri-batch) work items per slab.
+
+    Data-dependent (rays and triangles concentrating in the same cells
+    multiply), so this is a heuristic with an overflow flag behind it:
+    8 batch-sweeps per ray block on average, plus one full pass over the
+    pair buffer, plus one unit per possible cell run.
+    """
+    nb_blocks = -(-num_rays // cfg.max_rays_per_packet)
+    return (8 * nb_blocks + pair_capacity // cfg.tri_batch
+            + cfg.cell_sentinel + 1)
+
+
 def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                  primary, primary_eye, cfg: RenderConfig, *,
                  chunk_size: int = 256,
-                 work_factor: int = 2,
+                 work_capacity: int | None = None,
                  backend: str = "xla", interpret: bool = False):
     """Per-pixel shadow flags [H, W] int32 (mod_light_rckernel semantics).
 
@@ -124,6 +156,10 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     H, W = primary["t"].shape
     n = H * W
     L = light_camcoords[0:3]
+    R = cfg.max_rays_per_packet
+    B = cfg.tri_batch
+    NS = cfg.num_slabs
+    sentinel = cfg.cell_sentinel
 
     t = primary["t"].reshape(n)
     dirs = primary["ray_dir"].reshape(n, 3)
@@ -134,139 +170,169 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         cfg.angular_extent, cfg.angular_extent,
         cfg.quirks.y_forward_dot_typo, xp=jnp).reshape(n)
 
-    sorted_ray, pk = build_packets(cells, cfg)
-    sorted_pts = pts[sorted_ray]                             # [N, 3]
-    dist_pt = jnp.sqrt(dot(sorted_pts - L[None], sorted_pts - L[None]))
-    sh_dirs = normalize(sorted_pts - L[None], xp=jnp)
+    ray_ids = jnp.arange(n, dtype=jnp.int32)
+    sorted_cells, sorted_ray = jax.lax.sort((cells, ray_ids), num_keys=1)
 
-    B = cfg.tri_batch
-    NS = cfg.num_slabs
-    R = cfg.max_rays_per_packet
-    pcap = pk.packet_pos.shape[0]
+    # Pad the sorted stream to a whole number of blocks with sentinel rays.
+    n_pad = -(-n // R) * R
+    NB = n_pad // R
+    scells = jnp.pad(sorted_cells, (0, n_pad - n),
+                     constant_values=sentinel)
+
+    # Per-ray shadow data, one wide row gather through the permutation,
+    # padded to the block boundary (padding rays carry the sentinel cell
+    # and are masked everywhere by the cell-equality test).
+    spts = pts[sorted_ray]                                   # [N, 3]
+    delta = spts - L[None]
+    dist_pt = jnp.pad(jnp.sqrt(dot(delta, delta)), (0, n_pad - n))
+    sh_dirs = jnp.pad(normalize(delta, xp=jnp),
+                      ((0, n_pad - n), (0, 0)))
+
+    # Cell runs (segments) of the sorted stream.
+    pos = jnp.arange(n_pad, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=jnp.bool_),
+         scells[1:] != scells[:-1]])
+    seg_id = (jnp.cumsum(head.astype(jnp.int32)) - 1)
+    nseg_cap = sentinel + 2  # distinct cells + sentinel + pad slot
+    head_seg = jnp.where(head, seg_id, nseg_cap)
+    seg_start = jnp.zeros((nseg_cap,), jnp.int32).at[head_seg].set(
+        pos, mode="drop")
+    seg_cell = jnp.full((nseg_cap,), sentinel, jnp.int32).at[head_seg].set(
+        scells, mode="drop")
+    seg_len = jax.ops.segment_sum(jnp.ones_like(seg_id), seg_id,
+                                  num_segments=nseg_cap)
+    b0 = seg_start // R
+    b1 = jnp.maximum(seg_start + seg_len - 1, seg_start) // R
+    nblk = jnp.where((seg_len > 0) & (seg_cell < sentinel),
+                     b1 - b0 + 1, 0)
+
+    if work_capacity is None:
+        work_capacity = shadow_work_capacity(
+            cfg, n, light_grid.sorted_faces.shape[0])
+    wcap = work_capacity
 
     if backend == "pallas":
-        # Packet ray blocks [Pcap, 8, 128]: rows 0:3 shadow dir, row 3 =
-        # light-to-point distance; lanes = rays (padded to 128 for DMA).
         from ugrt.trace import pallas_tracer
 
         layout = pallas_tracer.pack_tri_data(vertices, faces, light_grid,
                                              L, cfg)
-        ray_lane0 = jnp.arange(R, dtype=jnp.int32)
-        ridx = jnp.clip(pk.packet_pos[:, None] + ray_lane0[None, :], 0,
-                        n - 1)
-        d_pk = jnp.swapaxes(sh_dirs[ridx], 1, 2)      # [Pcap, 3, R]
-        dist_pk = dist_pt[ridx][:, None, :]           # [Pcap, 1, R]
-        live_pk = (ray_lane0[None, :]
-                   < pk.packet_count[:, None]).astype(
-                       jnp.float32)[:, None, :]       # [Pcap, 1, R]
-        rays_pk = jnp.pad(
-            jnp.concatenate([d_pk, dist_pk, live_pk], axis=1),
-            ((0, 0), (0, 3), (0, 128 - R)))           # [Pcap, 8, 128]
+        # Block ray data [NB+1, 8, 128]: rows 0:3 shadow dir, row 3 =
+        # light-to-point distance, row 4 = ray cell id (f32, exact for
+        # cell ids < 2^24); lanes = rays.  Built by reshape, not gather;
+        # +1 guard row for clipped block ids of dead items.
+        cellf = scells.astype(jnp.float32)[:, None]
+        rows = jnp.concatenate(
+            [sh_dirs, dist_pt[:, None], cellf], axis=1)    # [n_pad, 5]
+        rays_blk = jnp.swapaxes(rows.reshape(NB, R, 5), 1, 2)
+        rays_blk = jnp.pad(rays_blk,
+                           ((0, 1), (0, 3), (0, 128 - R)))
 
-    shadowed_sorted = jnp.zeros((n,), dtype=jnp.int32)
+    shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
+    overflow = jnp.asarray(False)
+
+    lane = jnp.arange(B, dtype=jnp.int32)
+    ray_lane = jnp.arange(R, dtype=jnp.int32)
 
     for slab in range(NS):
-        # Work expansion: (packet, batch) over this slab's cell lists.
-        cnt = jnp.where(
-            pk.packet_cell < cfg.cell_sentinel,
-            light_grid.cell_count[
-                jnp.clip(pk.packet_cell * NS + slab, 0,
-                         cfg.num_cells - 1)], 0)
-        off = light_grid.cell_offset[
-            jnp.clip(pk.packet_cell * NS + slab, 0, cfg.num_cells - 1)]
+        csr = jnp.clip(seg_cell * NS + slab, 0, cfg.num_cells - 1)
+        cnt_seg = jnp.where(seg_cell < sentinel,
+                            light_grid.cell_count[csr], 0)
+        off_seg = light_grid.cell_offset[csr]
+        nbt = (cnt_seg + (B - 1)) // B
+        nunit = nblk * nbt
+        ustart = jnp.cumsum(nunit) - nunit
+        total_units = ustart[-1] + nunit[-1]
+        overflow = overflow | (total_units > wcap)
 
-        nb = (cnt + (B - 1)) // B
-        incl = jnp.cumsum(nb)
-        # Each packet needs >= 1 batch; extra batches are bounded by the
-        # packet's cell depth.  work_factor x pcap covers cells up to
-        # work_factor batches deep on average (overflow flag otherwise).
-        wcap = (work_factor * pcap
-                + light_grid.sorted_faces.shape[0] // B)
-
-        w = jnp.arange(wcap, dtype=jnp.int32)
-        pkt = jnp.searchsorted(incl, w, side="right").astype(jnp.int32)
-        wvalid = w < incl[-1]
-        pkt_c = jnp.clip(pkt, 0, pcap - 1)
-        b = w - (incl - nb)[pkt_c]
-        w_off = off[pkt_c] + b * B
-        w_cnt = jnp.clip(cnt[pkt_c] - b * B, 0, B)
-        w_cnt = jnp.where(wvalid, w_cnt, 0)
-        overflow = incl[-1] > wcap
-
-        lane = jnp.arange(B, dtype=jnp.int32)
-        ray_lane = jnp.arange(R, dtype=jnp.int32)
-
-        def chunk_body(args):
-            c_off, c_cnt, c_pos, c_prays = args
-            idx = jnp.clip(c_off[:, None] + lane[None, :], 0,
-                           light_grid.sorted_faces.shape[0] - 1)
-            fidx = jnp.clip(light_grid.sorted_faces[idx], 0,
-                            faces.shape[0] - 1)
-            v = vertices[faces[fidx]]                        # [C, B, 3, 3]
-            v0 = v[:, :, 0]
-            e1 = v[:, :, 1] - v0
-            e2 = v[:, :, 2] - v0
-            tvec = L[None, None, :] - v0
-
-            ridx = jnp.clip(c_pos[:, None] + ray_lane[None, :], 0, n - 1)
-            d = sh_dirs[ridx]                                # [C, R, 3]
-            dp = dist_pt[ridx]                               # [C, R]
-
-            tmt = moller_trumbore_t(tvec, e1, e2, d, cfg, abs_t=False)
-            # intersectTri accept: nonzero and t < 999999.9
-            # (light_kernel.cu:43-47); negative t passes.
-            hit = (tmt != 0) & (tmt < jnp.float32(999999.9))
-            if not cfg.quirks.shadow_accept_negative_t:
-                hit = hit & (tmt > 0)
-
-            occ = L[None, None, None, :] + tmt[..., None] * d[:, :, None, :]
-            delta = occ - L[None, None, None, :]
-            dist_occ = jnp.sqrt(dot(delta, delta))
-            small = dist_occ + jnp.float32(cfg.shadow_epsilon) < dp[..., None]
-
-            live_tri = (lane[None, None, :] < c_cnt[:, None, None])
-            live_ray = (ray_lane[None, :] < c_prays[:, None])
-            sh = jnp.any(hit & small & live_tri, axis=-1) & live_ray
-            return sh                                        # [C, R] bool
-
-        def chunk_fn(args):
-            # Work items are packed valid-first, so whole chunks beyond
-            # the live count are dead — skip their compute entirely.
-            # Dead-branch outputs derive from traced inputs (shard_map
-            # varying-axes provenance).
-            def dead(a):
-                return ((a[3][:, None] + ray_lane[None, :]) < 0)
-
-            return jax.lax.cond(jnp.any(args[1] > 0), chunk_body, dead,
-                                args)
+        u = jnp.arange(wcap, dtype=jnp.int32)
+        s_of = segment_ids_from_starts(ustart, wcap)
+        uvalid = u < total_units
+        r = u - ustart[s_of]
+        nbt_c = jnp.maximum(nbt[s_of], 1)
+        blk = jnp.clip(b0[s_of] + r // nbt_c, 0, NB - 1)
+        bat = r % nbt_c
+        w_off = off_seg[s_of] + bat * B
+        w_cnt = jnp.where(uvalid, jnp.clip(cnt_seg[s_of] - bat * B, 0, B),
+                          0)
+        w_blk = jnp.where(uvalid, blk, NB)
+        w_cell = seg_cell[s_of]
 
         if backend == "pallas":
             sh_i = pallas_tracer.shadow_sweep_pallas(
-                layout.tri_rows, rays_pk, w_off.astype(jnp.int32),
-                w_cnt.astype(jnp.int32), pkt_c.astype(jnp.int32),
-                cfg=cfg, interpret=interpret)
-            sh = sh_i[:, :R] > 0                                # [Wcap, R]
+                layout.tri_rows, rays_blk, w_off.astype(jnp.int32),
+                w_cnt.astype(jnp.int32),
+                jnp.clip(w_blk, 0, NB).astype(jnp.int32),
+                w_cell.astype(jnp.int32), cfg=cfg, interpret=interpret)
+            sh = (sh_i[:, :R] > 0).astype(jnp.int32)       # [Wcap, R]
         else:
+            def chunk_body(args):
+                c_off, c_cnt, c_blk, c_cell = args
+                idx = jnp.clip(c_off[:, None] + lane[None, :], 0,
+                               light_grid.sorted_faces.shape[0] - 1)
+                fidx = jnp.clip(light_grid.sorted_faces[idx], 0,
+                                faces.shape[0] - 1)
+                v = vertices[faces[fidx]]                    # [C, B, 3, 3]
+                v0 = v[:, :, 0]
+                e1 = v[:, :, 1] - v0
+                e2 = v[:, :, 2] - v0
+                tvec = L[None, None, :] - v0
+
+                ridx = c_blk[:, None] * R + ray_lane[None, :]
+                d = sh_dirs[ridx]                            # [C, R, 3]
+                dp = dist_pt[ridx]                           # [C, R]
+                rc = scells[ridx]                            # [C, R]
+
+                tmt = moller_trumbore_t(tvec, e1, e2, d, cfg, abs_t=False)
+                # intersectTri accept: nonzero and t < 999999.9
+                # (light_kernel.cu:43-47); negative t passes.
+                hit = (tmt != 0) & (tmt < jnp.float32(999999.9))
+                if not cfg.quirks.shadow_accept_negative_t:
+                    hit = hit & (tmt > 0)
+
+                occ = (L[None, None, None, :]
+                       + tmt[..., None] * d[:, :, None, :])
+                dl = occ - L[None, None, None, :]
+                dist_occ = jnp.sqrt(dot(dl, dl))
+                small = (dist_occ + jnp.float32(cfg.shadow_epsilon)
+                         < dp[..., None])
+
+                live_tri = (lane[None, None, :] < c_cnt[:, None, None])
+                live_ray = rc == c_cell[:, None]
+                sh = jnp.any(hit & small & live_tri, axis=-1) & live_ray
+                return sh.astype(jnp.int32)                  # [C, R]
+
+            def chunk_fn(args):
+                # Work items are packed valid-first, so whole chunks
+                # beyond the live count are dead — skip their compute.
+                # Dead-branch outputs derive from traced inputs
+                # (shard_map varying-axes provenance).
+                def dead(a):
+                    return ((a[0][:, None] + ray_lane[None, :]) < 0
+                            ).astype(jnp.int32)
+
+                return jax.lax.cond(jnp.any(args[1] > 0), chunk_body,
+                                    dead, args)
+
             n_chunks = -(-wcap // chunk_size)
             pad = n_chunks * chunk_size - wcap
 
             def pad0(x):
-                return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+                return jnp.pad(x, (0, pad))
 
             xs = (pad0(w_off).reshape(n_chunks, chunk_size),
                   pad0(w_cnt).reshape(n_chunks, chunk_size),
-                  pad0(pk.packet_pos[pkt_c]).reshape(n_chunks, chunk_size),
-                  pad0(pk.packet_count[pkt_c] * wvalid).reshape(
-                      n_chunks, chunk_size))
+                  pad0(jnp.clip(w_blk, 0, NB - 1)).reshape(
+                      n_chunks, chunk_size),
+                  pad0(w_cell).reshape(n_chunks, chunk_size))
             sh = jax.lax.map(chunk_fn, xs).reshape(-1, R)[:wcap]
 
-        # Scatter-max into sorted ray order.
-        positions = jnp.clip(pk.packet_pos[pkt_c][:, None]
-                             + ray_lane[None, :], 0, n - 1)
-        shadowed_sorted = shadowed_sorted.at[positions.reshape(-1)].max(
-            sh.astype(jnp.int32).reshape(-1))
+        sh = jnp.where(uvalid[:, None], sh, 0)
+        shadow_blocks = jnp.maximum(
+            shadow_blocks,
+            jax.ops.segment_max(sh, w_blk, num_segments=NB + 1)[:NB])
 
-    # Undo the sort permutation.
+    shadowed_sorted = shadow_blocks.reshape(n_pad)[:n]
     shadowed = jnp.zeros((n,), dtype=jnp.int32).at[sorted_ray].max(
         shadowed_sorted)
     return shadowed.reshape(H, W), overflow
