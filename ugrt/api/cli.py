@@ -59,8 +59,23 @@ def build_parser():
     return p
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (first 1024^2 compile is ~minutes
+    on TPU; cached reloads are seconds)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 
@@ -70,6 +85,14 @@ def main(argv=None):
     from ugrt.config import RenderConfig
     from ugrt.core import camera as cam
     from ugrt.scene import model as smodel
+
+    if not os.path.exists(args.scene):
+        raise SystemExit(f"error: scene not found: {args.scene}")
+    if args.size % args.grid != 0 or args.size // args.grid != 8:
+        raise SystemExit(
+            f"error: --size must be --grid * 8 (8x8 pixel tiles per grid "
+            f"cell, main.cu.h:10-28); got size={args.size} "
+            f"grid={args.grid}")
 
     cfg = dataclasses.replace(
         RenderConfig(), screen_width=args.size, screen_height=args.size,
