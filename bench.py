@@ -26,8 +26,9 @@ def main():
     import os
     import jax
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.jax_cache_" + jax.default_backend()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass

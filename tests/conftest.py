@@ -16,6 +16,9 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Hermetic tests: never read/write the persistent compilation cache
+# (ugrt.api.cli enables it when its CLI main runs inside a test).
+jax.config.update("jax_enable_compilation_cache", False)
 
 warnings.filterwarnings("ignore")
 np.seterr(all="ignore")

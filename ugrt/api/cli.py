@@ -61,12 +61,18 @@ def build_parser():
 
 def enable_compilation_cache():
     """Persistent XLA compilation cache (first 1024^2 compile is ~minutes
-    on TPU; cached reloads are seconds)."""
+    on TPU; cached reloads are seconds).
+
+    The directory is keyed by backend: XLA:CPU AOT entries embed host
+    machine features, and a shared directory poisons runs on other hosts
+    (the loader warns 'machine type ... doesn't match' and executions
+    fail with buffer-count mismatches)."""
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser(f"~/.jax_cache_{jax.default_backend()}"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           2.0)
     except Exception:

@@ -72,6 +72,16 @@ class RenderConfig:
     # count.  Data-dependent totals are clamped to this (with an overflow
     # flag); recompile with a larger factor if it trips.
     pair_capacity_factor: int = 8
+    # Two-level grid split (see ugrt.grid.build.DeviceGrid): faces whose
+    # clip-space footprint covers >= heavy_threshold cells — on interior
+    # scenes mostly behind-the-eye faces whose perspective-divided AABB
+    # explodes to the whole grid, which the reference duplicates into
+    # every cell (frustum_grid.h:254 reallocates to fit) — go to a small
+    # global list swept densely for every ray instead of the pair buffer.
+    # Identical results, ~20x smaller pair buffer on reference-scale
+    # scenes.  0 disables the split.
+    heavy_threshold: int = 256
+    heavy_capacity: int = 1024
     # Static cap on work items (cell-batch pairs), as a fraction of
     # (pair_capacity // tri_batch) + active cell bound.
     quirks: QuirkConfig = QuirkConfig()

@@ -6,7 +6,11 @@ kernel, cudppSort and a histogram (FrustumGrid::buildGrid,
 /root/reference/frustum_grid.h:210-366).  That pipeline ping-pongs between
 host and device three times per frame (SURVEY.md §3.3) — poison for XLA.
 
-Here the whole build is one fused, statically-shaped jitted graph:
+Here the whole build is one fused, statically-shaped graph (pure
+functions — callers jit them, typically as part of the whole frame;
+nesting jit inside jit adds nothing and jax 0.9's inner-jit jaxpr/const
+caching miscounts executable parameters when the same builder runs both
+at top level and inside a grad trace):
 
   counts  — vmapped binning (ugrt.grid.binning)
   z-range — on-device masked min/max (no host roundtrip)
@@ -41,7 +45,20 @@ from ugrt.grid import binning
 class DeviceGrid(NamedTuple):
     """CSR acceleration structure (mirrors d_span/d_offset/
     d_triangle_value_list, frustum_grid.h:21-29) plus static capacity
-    bookkeeping."""
+    bookkeeping.
+
+    Two-level split: faces whose footprint covers >= heavy_threshold cells
+    (typically behind-the-eye geometry whose clip-space AABB explodes to
+    the whole grid — which the reference duplicates into EVERY cell's
+    list, frustum_grid.h:254 reallocates to fit) are pulled out of the
+    pair expansion into `heavy_faces`, a small global list the tracers
+    sweep densely for every ray.  Results are identical (the union of
+    candidate sets is unchanged; winner selection uses (t, face-id)
+    lex-min, which equals the reference's strict-< scan over its
+    face-ascending merged cell list) but the pair buffer shrinks by the
+    duplication factor (~20x on reference-scale interior scenes).
+    heavy_faces is empty (capacity 0) when the split is disabled.
+    """
 
     sorted_faces: jax.Array   # [capacity] int32, face id per pair, -1 pad
     sorted_keys: jax.Array    # [capacity] int32 cell keys (sentinel pad)
@@ -49,6 +66,61 @@ class DeviceGrid(NamedTuple):
     cell_offset: jax.Array    # [num_cells] int32 exclusive scan
     total_pairs: jax.Array    # [] int32 (clamped to capacity)
     overflow: jax.Array       # [] bool — true pair count exceeded capacity
+    heavy_faces: jax.Array    # [heavy_capacity] int32 face ids (-1 pad)
+    heavy_count: jax.Array    # [] int32 (clamped to heavy_capacity)
+    # [heavy_capacity, 4] int32 (gxmin, gxmax, gymin, gymax): the face's
+    # cell footprint.  A ray only tests a heavy face when its own cell
+    # lies inside — exactly the rays that would have found the face in
+    # their cell list (partial-footprint heavy faces are still only
+    # visible to rays in their footprint).
+    heavy_ranges: jax.Array
+
+
+def _split_heavy(ranges, cfg: RenderConfig, heavy_threshold: int,
+                 heavy_capacity: int):
+    """Split faces into (light ranges, heavy face list).
+
+    Heavy = footprint >= heavy_threshold cells.  Light faces keep their
+    ranges; heavy faces get counts=0 (no pairs) and are packed ascending
+    into a static [heavy_capacity] list (-1 pad).  Only valid for
+    num_slabs==1 (with z-slabs a heavy face would belong to one slab bin,
+    which the global sweep does not model) — the builders disable the
+    split automatically for multi-slab configs.
+    """
+    counts = ranges["counts"].astype(jnp.int32)
+    heavy = counts >= heavy_threshold
+    num_faces = counts.shape[0]
+
+    face_ids = jnp.arange(num_faces, dtype=jnp.int32)
+    marked = jnp.where(heavy, face_ids, jnp.int32(2**31 - 1))
+    if num_faces < heavy_capacity:
+        marked = jnp.pad(marked, (0, heavy_capacity - num_faces),
+                         constant_values=2**31 - 1)
+    packed = jnp.sort(marked)[:heavy_capacity]
+    n_heavy = jnp.sum(heavy.astype(jnp.int32))
+    heavy_faces = jnp.where(
+        jnp.arange(heavy_capacity, dtype=jnp.int32)
+        < jnp.minimum(n_heavy, heavy_capacity), packed, -1)
+
+    fidx = jnp.clip(heavy_faces, 0, num_faces - 1)
+    heavy_ranges = jnp.stack(
+        [ranges["gxmin"][fidx], ranges["gxmax"][fidx],
+         ranges["gymin"][fidx], ranges["gymax"][fidx]],
+        axis=1).astype(jnp.int32)
+    # dead slots: empty range (1, 0, 1, 0) so no ray's cell matches.
+    # (iota parity instead of an array literal: trace-time consts become
+    # executable parameters in jax 0.9 and are avoided in jitted paths)
+    col = jax.lax.broadcasted_iota(jnp.int32, (heavy_capacity, 4), 1)
+    empty_range = 1 - (col % 2)
+    dead = (heavy_faces < 0)[:, None]
+    heavy_ranges = jnp.where(dead, empty_range, heavy_ranges)
+
+    light = dict(ranges)
+    light["counts"] = jnp.where(heavy, 0, counts)
+    heavy_overflow = n_heavy > heavy_capacity
+    return (light, heavy_faces,
+            jnp.minimum(n_heavy, heavy_capacity), heavy_overflow,
+            heavy_ranges)
 
 
 def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
@@ -143,39 +215,70 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
         cell_offset=cell_offset,
         total_pairs=jnp.minimum(total, capacity).astype(jnp.int32),
         overflow=total > capacity,
+        heavy_faces=jnp.full((0,), -1, dtype=jnp.int32),
+        heavy_count=jnp.int32(0),
+        heavy_ranges=jnp.zeros((0, 4), dtype=jnp.int32),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "capacity", "align"))
 def build_perspective_grid(vertices, faces, camcoords, *,
                            cfg: RenderConfig, capacity: int,
-                           align: int = 1) -> DeviceGrid:
-    """Perspective grid over camera clip space (buildGrid)."""
+                           align: int = 1,
+                           heavy_threshold: int | None = None) -> DeviceGrid:
+    """Perspective grid over camera clip space (buildGrid).
+
+    heavy_threshold (None = cfg.heavy_threshold; 0 disables) activates
+    the two-level split — see DeviceGrid."""
+    if heavy_threshold is None:
+        heavy_threshold = cfg.heavy_threshold
+    if cfg.num_slabs > 1:
+        heavy_threshold = 0  # split needs per-slab modeling; disable
     r = binning.perspective_face_ranges(
         vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
         xp=jnp)
+    if heavy_threshold > 0 and cfg.heavy_capacity > 0:
+        r, hf, hc, hov, hr = _split_heavy(r, cfg, heavy_threshold,
+                                          cfg.heavy_capacity)
+    else:
+        hf, hc, hov = (jnp.full((0,), -1, jnp.int32), jnp.int32(0),
+                       jnp.asarray(False))
+        hr = jnp.zeros((0, 4), jnp.int32)
     z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
     gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
-    return _expand_and_sort(r, gz, cfg, capacity, align)
+    g = _expand_and_sort(r, gz, cfg, capacity, align)
+    return g._replace(heavy_faces=hf, heavy_count=hc, heavy_ranges=hr,
+                      overflow=g.overflow | hov)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "capacity", "align"))
 def build_spherical_grid(vertices, faces, camcoords, *,
                          cfg: RenderConfig, capacity: int,
                          x_max: float | None = None,
                          y_max: float | None = None,
-                         align: int = 1) -> DeviceGrid:
+                         align: int = 1,
+                         heavy_threshold: int | None = None) -> DeviceGrid:
     """Spherical light-centric grid (buildSphericalGrid); angular extent
     defaults to pi per main.cu:186-187."""
+    if heavy_threshold is None:
+        heavy_threshold = cfg.heavy_threshold
+    if cfg.num_slabs > 1:
+        heavy_threshold = 0  # split needs per-slab modeling; disable
     x_max = cfg.angular_extent if x_max is None else x_max
     y_max = cfg.angular_extent if y_max is None else y_max
     r = binning.spherical_face_ranges(
         vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
         x_max, y_max, cfg.quirks.y_forward_dot_typo, xp=jnp)
+    if heavy_threshold > 0 and cfg.heavy_capacity > 0:
+        r, hf, hc, hov, hr = _split_heavy(r, cfg, heavy_threshold,
+                                          cfg.heavy_capacity)
+    else:
+        hf, hc, hov = (jnp.full((0,), -1, jnp.int32), jnp.int32(0),
+                       jnp.asarray(False))
+        hr = jnp.zeros((0, 4), jnp.int32)
     z_lo, z_hi = binning.z_minmax(r["zmin"], xp=jnp)
     gz = binning.slab_bins(r["zmin"], z_lo, z_hi, cfg.num_slabs, xp=jnp)
-    return _expand_and_sort(r, gz, cfg, capacity, align)
+    g = _expand_and_sort(r, gz, cfg, capacity, align)
+    return g._replace(heavy_faces=hf, heavy_count=hc, heavy_ranges=hr,
+                      overflow=g.overflow | hov)
 
 
 def uniform_face_ranges(vertices, faces, aabb_min, aabb_max,
@@ -207,7 +310,6 @@ def uniform_face_ranges(vertices, faces, aabb_min, aabb_max,
     return dict(gmin=gmin, gmax=gmax, counts=counts)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_dims", "capacity"))
 def build_uniform_grid(vertices, faces, aabb_min, aabb_max, *,
                        grid_dims: tuple[int, int, int],
                        capacity: int) -> DeviceGrid:
@@ -256,4 +358,7 @@ def build_uniform_grid(vertices, faces, aabb_min, aabb_max, *,
         cell_offset=cell_offset,
         total_pairs=jnp.minimum(total, capacity).astype(jnp.int32),
         overflow=total > capacity,
+        heavy_faces=jnp.full((0,), -1, dtype=jnp.int32),
+        heavy_count=jnp.int32(0),
+        heavy_ranges=jnp.zeros((0, 4), dtype=jnp.int32),
     )

@@ -301,8 +301,8 @@ def _shadow_sweep_call(tri_rows, rays_blk, work_offset, work_count,
         num_scalar_prefetch=2,
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((wchunk, R), lambda i, *_: (i, 0),
@@ -415,8 +415,8 @@ def work_sweep_pallas(tri_rows, rays_T, work_offset, work_count,
         num_scalar_prefetch=3,
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tri_rows (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # rays_T (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # tri_rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # rays_T (HBM)
         ],
         out_specs=[
             pl.BlockSpec((wchunk, R), lambda i, *_: (i, 0),

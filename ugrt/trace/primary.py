@@ -270,6 +270,37 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     t_cell = t_cell[:cells_local].reshape(num_tiles, NS, R)
     win_cell = win_cell[:cells_local].reshape(num_tiles, NS, R)
 
+    # Winner pair index -> face id here (instead of after the slab scan)
+    # so the heavy-list candidates can be merged by (t, face) lex-min —
+    # the reference's strict-< scan order over its face-ascending merged
+    # cell list (ugrt.trace.heavy docstring).
+    _MAXF = jnp.int32(2**31 - 1)
+    f_cell = value_lookup[jnp.clip(win_cell, 0, None)].astype(jnp.int32)
+    f_cell = jnp.where(t_cell >= _BIG, _MAXF, f_cell)
+
+    if grid.heavy_faces.shape[0] > 0:
+        from ugrt.trace import heavy as theavy
+
+        co = theavy.heavy_coeffs(vertices, faces, grid.heavy_faces,
+                                 grid.heavy_count, eye, grid.heavy_ranges)
+        # Each ray's own grid cell: tile t covers cell (bx0 + t//tiles_y,
+        # t % tiles_y) — the footprint mask needs it.
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        gx_t = jnp.asarray(bx0, jnp.int32) + tile_ids // tiles_y
+        gy_t = tile_ids % tiles_y
+        gx_r = jnp.broadcast_to(gx_t[:, None], (num_tiles, R)).reshape(-1)
+        gy_r = jnp.broadcast_to(gy_t[:, None], (num_tiles, R)).reshape(-1)
+        t_h, f_h = theavy.heavy_min_t(co, rays_t.reshape(-1, 3),
+                                      gx_r, gy_r, cfg)
+        t_h = t_h.reshape(num_tiles, R)
+        f_h = f_h.reshape(num_tiles, R)
+        # Heavy faces live in slab 0 (build asserts num_slabs == 1).
+        t_c0 = t_cell[:, 0]
+        f_c0 = f_cell[:, 0]
+        take_h = (t_h < t_c0) | ((t_h == t_c0) & (f_h < f_c0))
+        t_cell = t_cell.at[:, 0].set(jnp.where(take_h, t_h, t_c0))
+        f_cell = f_cell.at[:, 0].set(jnp.where(take_h, f_h, f_c0))
+
     # Sequential slab scan with the isWithin(done) state machine.
     mvp = camcoords[48:64]
 
@@ -297,11 +328,10 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     slabs = jnp.arange(NS, dtype=jnp.float32)
     (oldt, win, done), _ = jax.lax.scan(
         slab_step, (oldt0, win0, done0),
-        (jnp.moveaxis(t_cell, 1, 0), jnp.moveaxis(win_cell, 1, 0), slabs))
+        (jnp.moveaxis(t_cell, 1, 0), jnp.moveaxis(f_cell, 1, 0), slabs))
 
     ok = done == 2
-    face_id = jnp.where(
-        ok, value_lookup[jnp.clip(win, 0, None)], -2).astype(jnp.int32)
+    face_id = jnp.where(ok, win, -2).astype(jnp.int32)
 
     v = vertices[faces[jnp.clip(face_id, 0, None)]]      # [T, R, 3, 3]
     e1 = normalize(v[..., 1, :] - v[..., 0, :], xp=jnp)

@@ -129,7 +129,8 @@ def build_packets(cells, cfg: RenderConfig):
 
 
 def shadow_work_capacity(cfg: RenderConfig, num_rays: int,
-                         pair_capacity: int) -> int:
+                         pair_capacity: int,
+                         block_rays: int | None = None) -> int:
     """Static bound on (block, cell-run, tri-batch) work items per slab.
 
     Data-dependent (rays and triangles concentrating in the same cells
@@ -137,7 +138,8 @@ def shadow_work_capacity(cfg: RenderConfig, num_rays: int,
     8 batch-sweeps per ray block on average, plus one full pass over the
     pair buffer, plus one unit per possible cell run.
     """
-    nb_blocks = -(-num_rays // cfg.max_rays_per_packet)
+    R = block_rays or cfg.max_rays_per_packet
+    nb_blocks = -(-num_rays // R)
     return (8 * nb_blocks + pair_capacity // cfg.tri_batch
             + cfg.cell_sentinel + 1)
 
@@ -146,17 +148,24 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                  primary, primary_eye, cfg: RenderConfig, *,
                  chunk_size: int = 256,
                  work_capacity: int | None = None,
-                 backend: str = "xla", interpret: bool = False):
+                 backend: str = "xla", interpret: bool = False,
+                 block_rays: int = 128):
     """Per-pixel shadow flags [H, W] int32 (mod_light_rckernel semantics).
 
     Every pixel participates — including primary misses, whose 'hit point'
     eye + (-1)*dir is faithfully garbage, exactly as the reference
     reorders all IMAGE_SIZE rays (misc_kernel.cu:294-295).
+
+    block_rays sets the sorted-stream block width for the TPU scheduler
+    (default 128 = full VPU lane occupancy).  Results are invariant to it
+    — every ray is cell-masked against exactly its own cell's triangles;
+    the reference's 64-ray packets (MAX_RAYS_PER_BLOCK) remain available
+    via build_packets.
     """
     H, W = primary["t"].shape
     n = H * W
     L = light_camcoords[0:3]
-    R = cfg.max_rays_per_packet
+    R = block_rays
     B = cfg.tri_batch
     NS = cfg.num_slabs
     sentinel = cfg.cell_sentinel
@@ -169,6 +178,26 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         pts, light_camcoords, cfg.grid_x, cfg.grid_y,
         cfg.angular_extent, cfg.angular_extent,
         cfg.quirks.y_forward_dot_typo, xp=jnp).reshape(n)
+
+    # Heavy-list occlusion (two-level grid): dense sweep over the few
+    # global faces, in original ray order.  Sentinel-cell rays are
+    # excluded — they test no triangles (SURVEY.md §3.5 divergence note).
+    shadow_heavy = jnp.zeros((n,), dtype=jnp.int32)
+    if light_grid.heavy_faces.shape[0] > 0:
+        from ugrt.trace import heavy as theavy
+
+        delta0 = pts - L[None]
+        dist0 = jnp.sqrt(dot(delta0, delta0))
+        dirs0 = normalize(delta0, xp=jnp)
+        co = theavy.heavy_coeffs(vertices, faces, light_grid.heavy_faces,
+                                 light_grid.heavy_count, L,
+                                 light_grid.heavy_ranges)
+        # The ray's own light-grid cell coordinates (footprint mask);
+        # sentinel cells yield gx == grid_x which matches no footprint.
+        gx_r = cells // cfg.grid_y
+        gy_r = cells % cfg.grid_y
+        sh_h = theavy.heavy_shadowed(co, dirs0, dist0, gx_r, gy_r, cfg)
+        shadow_heavy = jnp.where(cells < sentinel, sh_h, 0)
 
     ray_ids = jnp.arange(n, dtype=jnp.int32)
     sorted_cells, sorted_ray = jax.lax.sort((cells, ray_ids), num_keys=1)
@@ -335,4 +364,5 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     shadowed_sorted = shadow_blocks.reshape(n_pad)[:n]
     shadowed = jnp.zeros((n,), dtype=jnp.int32).at[sorted_ray].max(
         shadowed_sorted)
+    shadowed = jnp.maximum(shadowed, shadow_heavy)
     return shadowed.reshape(H, W), overflow
