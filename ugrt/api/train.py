@@ -97,10 +97,14 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
                 ccs[frame], lcc, lp, targets[frame])
             return loss, dict(vertices=gv, materials=gm)
     else:
-        @jax.jit
-        def _loss(v, m, cc, target):
+        # One plain inner function under ONE outer jit, with every device
+        # array passed explicitly (no closure-captured jnp constants):
+        # jax 0.9's const-hoisting turns captured arrays into hidden
+        # executable parameters whose count can go stale across traces
+        # ("Execution supplied N buffers but compiled program expected M").
+        def _loss(v, m, f, mi, cc, lc, l, target):
             color = render_grad.render_color(
-                v, m, faces, mat_index, cc, lcc, lp, cfg=cfg,
+                v, m, f, mi, cc, lc, l, cfg=cfg,
                 capacity=cap, num_lights=1, use_spot=True)
             return jnp.mean((color - target) ** 2)
 
@@ -108,7 +112,8 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
 
         def grads_for(frame, p):
             loss, (gv, gm) = grad_fn(p["vertices"], p["materials"],
-                                     ccs[frame], targets[frame])
+                                     faces, mat_index, ccs[frame], lcc,
+                                     lp, targets[frame])
             return loss, dict(vertices=gv, materials=gm)
 
     log = []

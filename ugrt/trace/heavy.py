@@ -34,12 +34,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ugrt.config import RenderConfig
 from ugrt.core.vecmath import cross, dot
 
-_BIG = jnp.float32(3.0e38)
-_MAXF = jnp.int32(2**31 - 1)
+# numpy scalars, NOT jnp: module-level device arrays get hoisted as hidden
+# executable parameters under jax 0.9 simplified-jaxpr-constants, and the
+# pjit C++ fastpath then drops them on re-execution.
+_BIG = np.float32(3.0e38)
+_MAXF = np.int32(2**31 - 1)
 
 
 class HeavyCoeffs(NamedTuple):

@@ -26,13 +26,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ugrt.config import RenderConfig
 from ugrt.core.vecmath import cross, dot, normalize
 from ugrt.grid.build import DeviceGrid
 from ugrt.trace.primary import moller_trumbore_t
 
-_BIG = jnp.float32(3.0e38)
+# numpy scalar, NOT jnp: a module-level device array gets hoisted as a
+# hidden executable parameter under jax 0.9 simplified-jaxpr-constants,
+# and the pjit C++ fastpath then drops it on re-execution
+# ("Execution supplied N buffers but compiled program expected M").
+_BIG = np.float32(3.0e38)
 
 
 def reflect_directions(primary, xp=jnp):

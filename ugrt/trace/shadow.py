@@ -47,6 +47,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ugrt.config import RenderConfig
 from ugrt.core.ragged import segment_ids_from_starts
@@ -55,7 +56,11 @@ from ugrt.grid import binning
 from ugrt.grid.build import DeviceGrid
 from ugrt.trace.primary import moller_trumbore_t
 
-_BIG = jnp.float32(3.0e38)
+# numpy scalar, NOT jnp: a module-level device array gets hoisted as a
+# hidden executable parameter under jax 0.9 simplified-jaxpr-constants,
+# and the pjit C++ fastpath then drops it on re-execution
+# ("Execution supplied N buffers but compiled program expected M").
+_BIG = np.float32(3.0e38)
 
 
 class ShadowWork(NamedTuple):
