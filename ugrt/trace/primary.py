@@ -243,21 +243,15 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
 
     if backend == "pallas":
-        # Requires the grid built with align=8 (DMA-aligned segments).
         from ugrt.trace import pallas_tracer
 
-        layout = pallas_tracer.pack_tri_data(vertices, faces, grid, eye,
-                                             cfg)
-        # rays as [T, 8, 128]: components on sublanes, rays on lanes
-        # (padded to a full 128 lanes for DMA alignment).
-        rays_T = jnp.pad(jnp.swapaxes(rays_t, 1, 2),
-                         ((0, 0), (0, 5), (0, 128 - R)))
-        tmin_w, pair_w = pallas_tracer.work_sweep_pallas(
-            layout.tri_rows, rays_T, work.offset, work.count,
-            tile_of_work, cfg=cfg, interpret=interpret)
-        tmin_w = tmin_w[:, :R]
-        pair_w = pair_w[:, :R]
-        value_lookup = layout.padded_faces
+        tri9 = pallas_tracer.tri_components(vertices, faces, grid, eye)
+        rays_items = rays_t[tile_of_work]                # [Wcap, R, 3]
+        tmin_w, lane_w = pallas_tracer.work_sweep_pallas(
+            tri9, rays_items, work.offset, work.count, cfg=cfg,
+            interpret=interpret)
+        pair_w = work.offset[:, None] + lane_w
+        value_lookup = grid.sorted_faces
     else:
         ray_blocks = rays_t[tile_of_work]                # [Wcap, R, 3]
         tmin_w, pair_w = _work_chunk_min(
