@@ -82,14 +82,17 @@ def main():
             trace_backend=trace_backend)
         return out["loss"], out["grad_vertices"], out["grad_materials"]
 
-    # Warmup / compile.
+    # Warmup / compile.  Sync by pulling the scalar loss to the host:
+    # under the axon-tunnel TPU platform block_until_ready can return
+    # before the dispatched computation finishes, so a device->host
+    # value read is the only trustworthy fence.
     out = step(verts, mats)
-    jax.block_until_ready(out)
+    float(out[0])
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(verts, mats)
-    jax.block_until_ready(out)
+        float(out[0])
     dt = (time.perf_counter() - t0) / iters
 
     rays = cfg.image_size

@@ -34,10 +34,10 @@ rx = timeit("primary trace (xla)", tx, v, grid)
 grid8 = timeit("grid build (align=8)", build8, v)
 tp = jax.jit(lambda v, g: tprim.trace_primary(v, f, cc, g, cfg, backend="pallas"))
 rp = timeit("primary trace (pallas)", tp, v, grid8)
-# also time pack separately
+# also time the component-major pack separately (v2 API)
 from ugrt.trace import pallas_tracer
-packf = jax.jit(lambda v, g: pallas_tracer.pack_tri_data(v, f, g, cc[:3], cfg))
-timeit("pack_tri_data", packf, v, grid8)
+packf = jax.jit(lambda v, g: pallas_tracer.tri_components(v, f, g, cc[:3]))
+timeit("tri_components", packf, v, grid8)
 
 idx = np.asarray(rx["face_id"]); idp = np.asarray(rp["face_id"])
 print("face_id mismatches:", (idx != idp).sum(), "/", idx.size)

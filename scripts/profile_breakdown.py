@@ -61,15 +61,14 @@ def expand_sort(v):
 
 timeit("  expand+sort+csr", expand_sort, verts)
 
-# --- primary internals ---
-layout = timeit("pack_tri_data", lambda v: pallas_tracer.pack_tri_data(
-    v, faces, grid8, eye, cfg), verts)
+# --- primary internals (pallas_tracer v2 API) ---
+tri9 = timeit("tri_components", lambda v: pallas_tracer.tri_components(
+    v, faces, grid8, eye), verts)
 
 dirs = cam.primary_ray_dirs(cc, W, H, xp=jnp)
 rays_t = tprim.tile_rays(dirs, cfg)
 R = rays_t.shape[1]
-rays_T = jnp.pad(jnp.swapaxes(rays_t, 1, 2), ((0, 0), (0, 5), (0, 128 - R)))
-rays_T = jax.block_until_ready(rays_T)
+num_tiles = cfg.grid_x * cfg.grid_y
 
 counts = grid8.cell_count
 offsets = grid8.cell_offset
@@ -78,34 +77,35 @@ work = jax.jit(lambda c, o: tprim.make_work_items(c, o, cfg.tri_batch,
                                                   wcap))(counts, offsets)
 work = jax.block_until_ready(work)
 print("  wcap:", wcap, "live items:", int((work.count > 0).sum()))
-tile_of_work = jnp.clip(work.cell // cfg.num_slabs, 0, cfg.num_cells - 1)
+tile_of_work = jnp.clip(work.cell // cfg.num_slabs, 0, num_tiles - 1)
 
 timeit("  make_work_items", lambda c, o: tprim.make_work_items(
     c, o, cfg.tri_batch, wcap), counts, offsets)
 
-tw, pw = timeit("  work_sweep_pallas", lambda tr, rT: (
-    pallas_tracer.work_sweep_pallas(tr, rT, work.offset, work.count,
-                                    tile_of_work, cfg=cfg)),
-    layout.tri_rows, rays_T)
+timeit("  gather_slabs", lambda t9: pallas_tracer.gather_slabs(
+    t9, work.offset, work.count, cfg.tri_batch), tri9)
 
-timeit("  rays prep (dirs+tile+pad)", lambda c: jnp.pad(
-    jnp.swapaxes(tprim.tile_rays(cam.primary_ray_dirs(c, W, H, xp=jnp),
-                                 cfg), 1, 2),
-    ((0, 0), (0, 5), (0, 128 - R))), cc)
+rays_items = jax.block_until_ready(rays_t[tile_of_work])
+tw, lw = timeit("  work_sweep_pallas", lambda t9, ri: (
+    pallas_tracer.work_sweep_pallas(t9, ri, work.offset, work.count,
+                                    cfg=cfg)), tri9, rays_items)
+
+timeit("  rays prep (dirs+tile+gather)", lambda c: tprim.tile_rays(
+    cam.primary_ray_dirs(c, W, H, xp=jnp), cfg)[tile_of_work], cc)
 
 
-def post(tmin_w, pair_w, v):
+def post(tmin_w, lane_w, v):
     seg = work.cell
     cells_local = cfg.num_cells
-    t_cell = jax.ops.segment_min(tmin_w[:, :R], seg,
+    pair_w = work.offset[:, None] + lane_w
+    t_cell = jax.ops.segment_min(tmin_w, seg,
                                  num_segments=cells_local + 1)
-    cand = jnp.where(tmin_w[:, :R] == t_cell[seg], pair_w[:, :R],
-                     jnp.int32(2**31 - 1))
+    cand = jnp.where(tmin_w == t_cell[seg], pair_w, jnp.int32(2**31 - 1))
     win_cell = jax.ops.segment_min(cand, seg, num_segments=cells_local + 1)
     return t_cell, win_cell
 
 
-timeit("  segment-min post", post, tw, pw, verts)
+timeit("  segment-min post", post, tw, lw, verts)
 prim = timeit("primary full (pallas)", lambda v, g: tprim.trace_primary(
     v, faces, cc, g, cfg, backend="pallas"), verts, grid8)
 

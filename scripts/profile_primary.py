@@ -36,9 +36,8 @@ eye = cc[0:3]
 # 1. ray dirs + tiling
 def rays_fn():
     dirs = cam.primary_ray_dirs(cc, W, H, xp=jnp)
-    rt = tprim.tile_rays(dirs, cfg)
-    return jnp.pad(jnp.swapaxes(rt, 1, 2), ((0, 0), (0, 5), (0, 64)))
-rays_T = timeit("ray dirs + tile + pad", jax.jit(rays_fn))
+    return tprim.tile_rays(dirs, cfg)
+rays_t = timeit("ray dirs + tile", jax.jit(rays_fn))
 
 # 2. work items
 wcap = cfg.num_cells + grid8.sorted_faces.shape[0] // cfg.tri_batch
@@ -47,16 +46,17 @@ wi = timeit("make_work_items", jax.jit(
                                     cfg.tri_batch, wcap)), grid8)
 print("  live items:", int(((wi.count > 0)).sum()), "of", wcap)
 
-# 3. pack tri data
-layout = timeit("pack_tri_data", jax.jit(
-    lambda v, g: ptr.pack_tri_data(v, faces, g, eye, cfg)), verts, grid8)
+# 3. component-major triangle data (v2 API)
+tri9 = timeit("tri_components", jax.jit(
+    lambda v, g: ptr.tri_components(v, faces, g, eye)), verts, grid8)
 
 # 4. pallas sweep only
 tile_of = jnp.clip(wi.cell // cfg.num_slabs, 0, cfg.grid_x * cfg.grid_y - 1)
-sweep = jax.jit(lambda tr, rT, o, c, t: ptr.work_sweep_pallas(
-    tr, rT, o, c, t, cfg=cfg))
-tmin_w, pair_w = timeit("pallas work sweep", sweep, layout.tri_rows,
-                        rays_T, wi.offset, wi.count, tile_of)
+rays_items = jax.block_until_ready(rays_t[tile_of])
+sweep = jax.jit(lambda t9, ri, o, c: ptr.work_sweep_pallas(
+    t9, ri, o, c, cfg=cfg))
+tmin_w, lane_w = timeit("pallas work sweep", sweep, tri9,
+                        rays_items, wi.offset, wi.count)
 
 # 5. segment-min + slab scan + outputs (the rest of trace_primary)
 full = jax.jit(lambda v, g: tprim.trace_primary(

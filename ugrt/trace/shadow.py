@@ -249,18 +249,18 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     if backend == "pallas":
         from ugrt.trace import pallas_tracer
 
-        layout = pallas_tracer.pack_tri_data(vertices, faces, light_grid,
-                                             L, cfg)
-        # Block ray data [NB+1, 8, 128]: rows 0:3 shadow dir, row 3 =
-        # light-to-point distance, row 4 = ray cell id (f32, exact for
-        # cell ids < 2^24); lanes = rays.  Built by reshape, not gather;
-        # +1 guard row for clipped block ids of dead items.
+        tri9 = pallas_tracer.tri_components(vertices, faces, light_grid, L)
+        # Block ray data [NB+1, R, 8]: lanes 0:3 shadow dir, lane 3 =
+        # light-to-point distance, lane 4 = ray cell id (f32, exact for
+        # cell ids < 2^24), lanes 5:8 zero.  Built by reshape, not
+        # gather; +1 guard row (sentinel cell) for clipped block ids of
+        # dead items.
         cellf = scells.astype(jnp.float32)[:, None]
         rows = jnp.concatenate(
-            [sh_dirs, dist_pt[:, None], cellf], axis=1)    # [n_pad, 5]
-        rays_blk = jnp.swapaxes(rows.reshape(NB, R, 5), 1, 2)
-        rays_blk = jnp.pad(rays_blk,
-                           ((0, 1), (0, 3), (0, 128 - R)))
+            [sh_dirs, dist_pt[:, None], cellf,
+             jnp.zeros((n_pad, 3), jnp.float32)], axis=1)  # [n_pad, 8]
+        rays_blk = jnp.pad(rows.reshape(NB, R, 8), ((0, 1), (0, 0), (0, 0)))
+        rays_blk = rays_blk.at[NB, :, 4].set(float(sentinel))
 
     shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
     overflow = jnp.asarray(False)
@@ -294,11 +294,11 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
 
         if backend == "pallas":
             sh_i = pallas_tracer.shadow_sweep_pallas(
-                layout.tri_rows, rays_blk, w_off.astype(jnp.int32),
+                tri9, rays_blk, w_off.astype(jnp.int32),
                 w_cnt.astype(jnp.int32),
                 jnp.clip(w_blk, 0, NB).astype(jnp.int32),
                 w_cell.astype(jnp.int32), cfg=cfg, interpret=interpret)
-            sh = (sh_i[:, :R] > 0).astype(jnp.int32)       # [Wcap, R]
+            sh = (sh_i > 0).astype(jnp.int32)              # [Wcap, R]
         else:
             def chunk_body(args):
                 c_off, c_cnt, c_blk, c_cell = args
