@@ -25,19 +25,18 @@ def timeit(name, fn, *a, n=5):
     return out
 
 build = jax.jit(lambda v: gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap))
-build8 = jax.jit(lambda v: gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap, align=8))
 grid = timeit("grid build", build, v)
 
 tx = jax.jit(lambda v, g: tprim.trace_primary(v, f, cc, g, cfg, chunk_size=1024))
 rx = timeit("primary trace (xla)", tx, v, grid)
 
-grid8 = timeit("grid build (align=8)", build8, v)
+grid8 = grid
 tp = jax.jit(lambda v, g: tprim.trace_primary(v, f, cc, g, cfg, backend="pallas"))
 rp = timeit("primary trace (pallas)", tp, v, grid8)
 # also time the component-major pack separately (v2 API)
 from ugrt.trace import pallas_tracer
-packf = jax.jit(lambda v, g: pallas_tracer.tri_components(v, f, g, cc[:3]))
-timeit("tri_components", packf, v, grid8)
+packf = jax.jit(lambda v, g: pallas_tracer.pack_tri_windows(v, f, g, cc[:3]))
+timeit("pack_tri_windows", packf, v, grid8)
 
 idx = np.asarray(rx["face_id"]); idp = np.asarray(rp["face_id"])
 print("face_id mismatches:", (idx != idp).sum(), "/", idx.size)

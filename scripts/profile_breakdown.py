@@ -24,21 +24,12 @@ cap = cfg.pair_capacity(sc.num_faces)
 verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
 
 
-def timeit(name, fn, *args, n=5, **kw):
-    f = jax.jit(fn) if not hasattr(fn, "lower") else fn
-    out = f(*args, **kw); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args, **kw)
-    jax.block_until_ready(out)
-    print(f"{name:36s} {(time.perf_counter()-t0)/n*1000:9.2f} ms")
-    return out
-
+from _timing import timeit, sync, roundtrip_ms  # noqa: E402
 
 grid8 = timeit("grid build align8", lambda v: gbuild.build_perspective_grid(
-    v, faces, cc, cfg=cfg, capacity=cap, align=8), verts)
+    v, faces, cc, cfg=cfg, capacity=cap), verts)
 lgrid8 = timeit("light grid align8", lambda v: gbuild.build_spherical_grid(
-    v, faces, lcc, cfg=cfg, capacity=cap, align=8), verts)
+    v, faces, lcc, cfg=cfg, capacity=cap), verts)
 
 eye = cc[0:3]
 H, W = cfg.screen_height, cfg.screen_width
@@ -61,54 +52,57 @@ def expand_sort(v):
 
 timeit("  expand+sort+csr", expand_sort, verts)
 
-# --- primary internals (pallas_tracer v2 API) ---
-tri9 = timeit("tri_components", lambda v: pallas_tracer.tri_components(
+# --- primary internals (pallas_tracer v3 API) ---
+from ugrt.trace import pallas_tracer as pt  # noqa: E402
+
+tri_w = timeit("pack_tri_windows", lambda v: pt.pack_tri_windows(
     v, faces, grid8, eye), verts)
-
-dirs = cam.primary_ray_dirs(cc, W, H, xp=jnp)
-rays_t = tprim.tile_rays(dirs, cfg)
-R = rays_t.shape[1]
+NW = tri_w.shape[0]
+NS = cfg.num_slabs
 num_tiles = cfg.grid_x * cfg.grid_y
-
-counts = grid8.cell_count
-offsets = grid8.cell_offset
-wcap = cfg.num_cells + grid8.sorted_faces.shape[0] // cfg.tri_batch
-work = jax.jit(lambda c, o: tprim.make_work_items(c, o, cfg.tri_batch,
-                                                  wcap))(counts, offsets)
-work = jax.block_until_ready(work)
-print("  wcap:", wcap, "live items:", int((work.count > 0).sum()))
-tile_of_work = jnp.clip(work.cell // cfg.num_slabs, 0, num_tiles - 1)
-
-timeit("  make_work_items", lambda c, o: tprim.make_work_items(
-    c, o, cfg.tri_batch, wcap), counts, offsets)
-
-timeit("  gather_slabs", lambda t9: pallas_tracer.gather_slabs(
-    t9, work.offset, work.count, cfg.tri_batch), tri9)
-
-rays_items = jax.block_until_ready(rays_t[tile_of_work])
-tw, lw = timeit("  work_sweep_pallas", lambda t9, ri: (
-    pallas_tracer.work_sweep_pallas(t9, ri, work.offset, work.count,
-                                    cfg=cfg)), tri9, rays_items)
-
-timeit("  rays prep (dirs+tile+gather)", lambda c: tprim.tile_rays(
-    cam.primary_ray_dirs(c, W, H, xp=jnp), cfg)[tile_of_work], cc)
+NBp = num_tiles // 2
+blocks2 = jnp.arange(NBp, dtype=jnp.int32)
+wcap = NBp + NW
 
 
-def post(tmin_w, lane_w, v):
-    seg = work.cell
-    cells_local = cfg.num_cells
-    pair_w = work.offset[:, None] + lane_w
-    t_cell = jax.ops.segment_min(tmin_w, seg,
-                                 num_segments=cells_local + 1)
-    cand = jnp.where(tmin_w == t_cell[seg], pair_w, jnp.int32(2**31 - 1))
-    win_cell = jax.ops.segment_min(cand, seg, num_segments=cells_local + 1)
-    return t_cell, win_cell
+def windows_fn(g):
+    k1 = (2 * blocks2) * NS
+    k2 = (2 * blocks2 + 1) * NS + (NS - 1)
+    lo = g.cell_offset[k1]
+    hi = g.cell_offset[k2] + g.cell_count[k2]
+    return pt.make_windows(lo, hi, wcap, NW)
+
+
+win_idx, win_blk, _ = timeit("  make_windows", windows_fn, grid8)
+print("  live windows:", int((win_blk < NBp).sum()), "of", wcap)
+
+
+def rays_fn(c):
+    rt = tprim.tile_rays(cam.primary_ray_dirs(c, W, H, xp=jnp), cfg)
+    dirs_T = jnp.swapaxes(rt.reshape(NBp, 128, 3), 1, 2)
+    keyrow = jnp.broadcast_to(
+        jnp.arange(num_tiles, dtype=jnp.float32).reshape(NBp, 2)[..., None],
+        (NBp, 2, 64)).reshape(NBp, 1, 128)
+    rb = jnp.concatenate([dirs_T, keyrow,
+                          jnp.zeros((NBp, 4, 128), jnp.float32)], axis=1)
+    return jnp.pad(rb, ((0, 1), (0, 0), (0, 0)))
+
+
+rays_b = timeit("  ray blocks prep", rays_fn, cc)
+
+tw, lw = timeit("  primary_sweep", lambda t9, rb: pt.primary_sweep(
+    t9, rb, win_idx, win_blk, cfg=cfg), tri_w, rays_b)
+
+
+def post(t_w, lane_w, v):
+    t_blk = jax.ops.segment_min(t_w, win_blk, num_segments=NBp + 1)
+    pair_w = win_idx[:, None] * pt.WIN + lane_w
+    cand = jnp.where(t_w == t_blk[win_blk], pair_w, jnp.int32(2**31 - 1))
+    p_blk = jax.ops.segment_min(cand, win_blk, num_segments=NBp + 1)
+    return t_blk, p_blk
 
 
 timeit("  segment-min post", post, tw, lw, verts)
-prim = timeit("primary full (pallas)", lambda v, g: tprim.trace_primary(
-    v, faces, cc, g, cfg, backend="pallas"), verts, grid8)
-
 # --- shadow internals ---
 t = prim["t"].reshape(-1)
 dirs_r = prim["ray_dir"].reshape(-1, 3)

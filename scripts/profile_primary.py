@@ -1,6 +1,5 @@
-"""Primary-trace sub-stage breakdown on the real TPU."""
+"""Primary-trace sub-stage breakdown on the real TPU (v3 kernels)."""
 import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
-import time
 import numpy as np
 import jax, jax.numpy as jnp
 from ugrt.config import RenderConfig
@@ -8,7 +7,7 @@ from ugrt.core import camera as cam
 from ugrt.scene import procedural
 from ugrt.grid import build as gbuild
 from ugrt.trace import primary as tprim
-from ugrt.trace import pallas_tracer as ptr
+from ugrt.trace import pallas_tracer as pt
 
 cfg = RenderConfig()
 sc = procedural.cathedral(num_faces_target=75000)
@@ -17,49 +16,66 @@ cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, 1.0))
 cap = cfg.pair_capacity(sc.num_faces)
 verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
 
-def timeit(name, fn, *args, n=5, **kw):
-    out = fn(*args, **kw); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    print(f"{name:36s} {(time.perf_counter()-t0)/n*1000:9.1f} ms", flush=True)
-    return out
+from _timing import timeit, sync, roundtrip_ms  # noqa: E402
+print("sync roundtrip:", round(roundtrip_ms(), 2), "ms (subtract from all)")
 
-grid8 = jax.jit(lambda v: gbuild.build_perspective_grid(
-    v, faces, cc, cfg=cfg, capacity=cap, align=8))(verts)
-jax.block_until_ready(grid8)
+grid = jax.jit(lambda v: gbuild.build_perspective_grid(
+    v, faces, cc, cfg=cfg, capacity=cap))(verts)
+sync(grid)
 
 H, W = cfg.screen_height, cfg.screen_width
 eye = cc[0:3]
+NS = cfg.num_slabs
+num_tiles = cfg.grid_x * cfg.grid_y
+NBp = num_tiles // 2
 
-# 1. ray dirs + tiling
+# 1. ray blocks
 def rays_fn():
     dirs = cam.primary_ray_dirs(cc, W, H, xp=jnp)
-    return tprim.tile_rays(dirs, cfg)
-rays_t = timeit("ray dirs + tile", jax.jit(rays_fn))
+    rt = tprim.tile_rays(dirs, cfg)
+    dirs_T = jnp.swapaxes(rt.reshape(NBp, 128, 3), 1, 2)
+    keyrow = jnp.broadcast_to(
+        jnp.arange(num_tiles, dtype=jnp.float32).reshape(NBp, 2)[..., None],
+        (NBp, 2, 64)).reshape(NBp, 1, 128)
+    rb = jnp.concatenate([dirs_T, keyrow,
+                          jnp.zeros((NBp, 4, 128), jnp.float32)], axis=1)
+    return jnp.pad(rb, ((0, 1), (0, 0), (0, 0)))
+rays_b = timeit("ray blocks (dirs+tile+pack)", jax.jit(rays_fn))
 
-# 2. work items
-wcap = cfg.num_cells + grid8.sorted_faces.shape[0] // cfg.tri_batch
-wi = timeit("make_work_items", jax.jit(
-    lambda g: tprim.make_work_items(g.cell_count, g.cell_offset,
-                                    cfg.tri_batch, wcap)), grid8)
-print("  live items:", int(((wi.count > 0)).sum()), "of", wcap)
+# 2. tri windows
+tri_w = timeit("pack_tri_windows", jax.jit(
+    lambda v, g: pt.pack_tri_windows(v, faces, g, eye)), verts, grid)
+NW = tri_w.shape[0]
 
-# 3. component-major triangle data (v2 API)
-tri9 = timeit("tri_components", jax.jit(
-    lambda v, g: ptr.tri_components(v, faces, g, eye)), verts, grid8)
+# 3. window list
+blocks2 = jnp.arange(NBp, dtype=jnp.int32)
+wcap = NBp + NW
+def windows_fn(g):
+    k1 = (2 * blocks2) * NS
+    k2 = (2 * blocks2 + 1) * NS + (NS - 1)
+    lo = g.cell_offset[k1]
+    hi = g.cell_offset[k2] + g.cell_count[k2]
+    return pt.make_windows(lo, hi, wcap, NW)
+win_idx, win_blk, _ = timeit("make_windows", jax.jit(windows_fn), grid)
+print("  live windows:", int((win_blk < NBp).sum()), "of", wcap)
 
 # 4. pallas sweep only
-tile_of = jnp.clip(wi.cell // cfg.num_slabs, 0, cfg.grid_x * cfg.grid_y - 1)
-rays_items = jax.block_until_ready(rays_t[tile_of])
-sweep = jax.jit(lambda t9, ri, o, c: ptr.work_sweep_pallas(
-    t9, ri, o, c, cfg=cfg))
-tmin_w, lane_w = timeit("pallas work sweep", sweep, tri9,
-                        rays_items, wi.offset, wi.count)
+sweep = jax.jit(lambda tw, rb, wi, wb: pt.primary_sweep(
+    tw, rb, wi, wb, cfg=cfg))
+t_w, lane_w = timeit("primary_sweep (pallas)", sweep, tri_w, rays_b,
+                     win_idx, win_blk)
 
-# 5. segment-min + slab scan + outputs (the rest of trace_primary)
+# 5. combine
+def combine(t_w, lane_w):
+    t_blk = jax.ops.segment_min(t_w, win_blk, num_segments=NBp + 1)
+    pair_w = win_idx[:, None] * pt.WIN + lane_w
+    cand = jnp.where(t_w == t_blk[win_blk], pair_w, jnp.int32(2**31 - 1))
+    p_blk = jax.ops.segment_min(cand, win_blk, num_segments=NBp + 1)
+    return t_blk, p_blk
+timeit("segment-min combine", jax.jit(combine), t_w, lane_w)
+
+# 6. full
 full = jax.jit(lambda v, g: tprim.trace_primary(
     v, faces, cc, g, cfg, backend="pallas"))
-prim = timeit("trace_primary total", full, verts, grid8)
+prim = timeit("trace_primary total", full, verts, grid)
 print("  hits:", int((np.asarray(prim["t"]) > 0).sum()))

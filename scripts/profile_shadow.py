@@ -18,17 +18,10 @@ lcc = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg, 1.0))
 cap = cfg.pair_capacity(sc.num_faces)
 verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
 
-def timeit(name, fn, *args, n=3, **kw):
-    out = fn(*args, **kw); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    print(f"{name:36s} {(time.perf_counter()-t0)/n*1000:9.1f} ms", flush=True)
-    return out
+from _timing import timeit, sync, roundtrip_ms  # noqa: E402
 
 full = jax.jit(lambda v: gbuild.build_perspective_grid(
-    v, faces, cc, cfg=cfg, capacity=cap, align=8))
+    v, faces, cc, cfg=cfg, capacity=cap))
 grid8 = timeit("grid: full build align=8", full, verts)
 
 trace_p = jax.jit(lambda v, g: tprim.trace_primary(
@@ -36,7 +29,7 @@ trace_p = jax.jit(lambda v, g: tprim.trace_primary(
 prim = timeit("primary trace (pallas, total)", trace_p, verts, grid8)
 
 lgrid8 = jax.jit(lambda v: gbuild.build_spherical_grid(
-    v, faces, lcc, cfg=cfg, capacity=cap, align=8))(verts)
+    v, faces, lcc, cfg=cfg, capacity=cap))(verts)
 
 full_sh = jax.jit(lambda v, g, p: tshadow.trace_shadow(
     v, faces, lcc, g, p, cc[:3], cfg, backend="pallas"))

@@ -23,15 +23,7 @@ verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
 mi = jnp.asarray(sc.mat_index); mats = jnp.asarray(sc.materials)
 CH = 1024
 
-def timeit(name, fn, *args, n=3, **kw):
-    out = fn(*args, **kw); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter()-t0)/n
-    print(f"{name:28s} {dt*1000:9.1f} ms")
-    return out
+from _timing import timeit, sync, roundtrip_ms  # noqa: E402
 
 build_p = jax.jit(lambda v: gbuild.build_perspective_grid(v, faces, cc, cfg=cfg, capacity=cap))
 grid = timeit("grid build (persp)", build_p, verts)
@@ -43,7 +35,7 @@ print("  light pairs:", int(lgrid.total_pairs))
 
 trace = jax.jit(lambda v, g: tprim.trace_primary(v, faces, cc, g, cfg, chunk_size=CH))
 prim = timeit("primary trace (xla)", trace, verts, grid)
-build_p8 = jax.jit(lambda v: gbuild.build_perspective_grid(v, faces, cc, cfg=cfg, capacity=cap, align=8))
+build_p8 = jax.jit(lambda v: gbuild.build_perspective_grid(v, faces, cc, cfg=cfg, capacity=cap))
 grid8 = timeit("grid build (align=8)", build_p8, verts)
 trace_p = jax.jit(lambda v, g: tprim.trace_primary(v, faces, cc, g, cfg, backend="pallas"))
 prim = timeit("primary trace (pallas)", trace_p, verts, grid8)
@@ -51,7 +43,7 @@ print("  hits:", int((prim["t"]>0).sum()))
 
 shad = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, chunk_size=CH)[0])
 sh = timeit("shadow pass (xla)", shad, verts, lgrid, prim)
-build_s8 = jax.jit(lambda v: gbuild.build_spherical_grid(v, faces, lcc_single, cfg=cfg, capacity=cap, align=8))
+build_s8 = jax.jit(lambda v: gbuild.build_spherical_grid(v, faces, lcc_single, cfg=cfg, capacity=cap))
 lgrid8 = timeit("grid build (sph align8)", build_s8, verts)
 shad_p = jax.jit(lambda v, g, p: tshadow.trace_shadow(v, faces, lcc_single, g, p, cc[:3], cfg, backend="pallas")[0])
 sh2 = timeit("shadow pass (pallas)", shad_p, verts, lgrid8, prim)

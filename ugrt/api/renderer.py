@@ -51,7 +51,7 @@ def render_frame_device(vertices, faces, mat_index, materials,
     """
     grid = gbuild.build_perspective_grid(
         vertices, faces, camcoords, cfg=cfg, capacity=capacity,
-        align=8 if trace_backend == "pallas" else 1)
+        align=1)
     primary = tprimary.trace_primary(
         vertices, faces, camcoords, grid, cfg, chunk_size=chunk_size,
         backend=trace_backend)
@@ -66,7 +66,7 @@ def render_frame_device(vertices, faces, mat_index, materials,
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
             vertices, faces, lcc, cfg=cfg, capacity=capacity,
-            align=8 if trace_backend == "pallas" else 1)
+            align=1)
         sh, sh_ovf = tshadow.trace_shadow(
             vertices, faces, lcc, lgrid, primary, eye, cfg,
             chunk_size=chunk_size, backend=trace_backend)

@@ -36,8 +36,7 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     vsg = jax.lax.stop_gradient(vertices)
 
     grid = gbuild.build_perspective_grid(
-        vsg, faces, camcoords, cfg=cfg, capacity=capacity,
-        align=8 if trace_backend == "pallas" else 1)
+        vsg, faces, camcoords, cfg=cfg, capacity=capacity)
     raw = tprimary.trace_primary(vsg, faces, camcoords, grid, cfg,
                                  chunk_size=chunk_size,
                                  backend=trace_backend)
@@ -49,8 +48,7 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     for li in range(num_lights):
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
-            vsg, faces, lcc, cfg=cfg, capacity=capacity,
-            align=8 if trace_backend == "pallas" else 1)
+            vsg, faces, lcc, cfg=cfg, capacity=capacity)
         sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye, cfg,
                                      chunk_size=chunk_size,
                                      backend=trace_backend)

@@ -234,40 +234,85 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     rays_t = tile_rays(dirs, cfg)                        # [T, R, 3]
     R = rays_t.shape[1]
 
-    counts = jax.lax.dynamic_slice(grid.cell_count, (c0,), (cells_local,))
-    offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),
-                                    (cells_local,))
-
-    wcap = cells_local + grid.sorted_faces.shape[0] // cfg.tri_batch
-    work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
-    tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
-
     if backend == "pallas":
-        from ugrt.trace import pallas_tracer
+        # v3 window scheduler (ugrt.trace.pallas_tracer): work item =
+        # (ray block of 2 tiles, 128-triangle window of the sorted pair
+        # array), in-kernel cell-key masking.  Exact work bound: per
+        # slab the blocks' pair spans are disjoint, so the window count
+        # is at most NBp + capacity/128 — no overflow possible.
+        from ugrt.trace import pallas_tracer as pt
 
-        tri9 = pallas_tracer.tri_components(vertices, faces, grid, eye)
-        rays_items = rays_t[tile_of_work]                # [Wcap, R, 3]
-        tmin_w, lane_w = pallas_tracer.work_sweep_pallas(
-            tri9, rays_items, work.offset, work.count, cfg=cfg,
-            interpret=interpret)
-        pair_w = work.offset[:, None] + lane_w
+        assert num_tiles % 2 == 0 and 2 * R == 128, (
+            "pallas backend packs two 64-ray tiles per 128-ray block")
+        NBp = num_tiles // 2
+        tri_w = pt.pack_tri_windows(vertices, faces, grid, eye)
+        NW = tri_w.shape[0]
+        wcap_p = NBp + NW
+
+        dirs_T = jnp.swapaxes(rays_t.reshape(NBp, 2 * R, 3), 1, 2)
+        tiles_local = jnp.arange(num_tiles, dtype=jnp.int32)
+        gcell_base = (c0 + tiles_local * NS).reshape(NBp, 2)
+        blocks2 = jnp.arange(NBp, dtype=jnp.int32)
+        zeros4 = jnp.zeros((NBp, 4, 2 * R), jnp.float32)
+        guard = jnp.concatenate(
+            [jnp.zeros((1, 3, 2 * R), jnp.float32),
+             jnp.full((1, 1, 2 * R), -1.0, jnp.float32),
+             jnp.zeros((1, 4, 2 * R), jnp.float32)], axis=1)
+
+        t_slabs = []
+        f_slabs = []
+        for s in range(NS):
+            keyrow = jnp.broadcast_to(
+                (gcell_base + s)[..., None].astype(jnp.float32),
+                (NBp, 2, R)).reshape(NBp, 1, 2 * R)
+            rays_b = jnp.concatenate(
+                [dirs_T, keyrow, zeros4], axis=1)
+            rays_b = jnp.concatenate([rays_b, guard], axis=0)
+            k1 = c0 + (2 * blocks2) * NS + s
+            k2 = c0 + (2 * blocks2 + 1) * NS + s
+            lo = grid.cell_offset[k1]
+            hi = grid.cell_offset[k2] + grid.cell_count[k2]
+            win_idx, win_blk, _ = pt.make_windows(lo, hi, wcap_p, NW)
+            t_w, lane_w = pt.primary_sweep(
+                tri_w, rays_b, win_idx, win_blk, cfg=cfg,
+                interpret=interpret)
+            t_blk = jax.ops.segment_min(t_w, win_blk,
+                                        num_segments=NBp + 1)
+            pair_w = win_idx[:, None] * pt.WIN + lane_w
+            cand = jnp.where(t_w == t_blk[win_blk], pair_w,
+                             jnp.int32(2**31 - 1))
+            p_blk = jax.ops.segment_min(cand, win_blk,
+                                        num_segments=NBp + 1)
+            t_slabs.append(t_blk[:NBp].reshape(num_tiles, R))
+            f_slabs.append(p_blk[:NBp].reshape(num_tiles, R))
+        t_cell = jnp.stack(t_slabs, axis=1)      # [num_tiles, NS, R]
+        win_cell = jnp.stack(f_slabs, axis=1)
         value_lookup = grid.sorted_faces
     else:
+        counts = jax.lax.dynamic_slice(grid.cell_count, (c0,),
+                                       (cells_local,))
+        offsets = jax.lax.dynamic_slice(grid.cell_offset, (c0,),
+                                        (cells_local,))
+
+        wcap = cells_local + grid.sorted_faces.shape[0] // cfg.tri_batch
+        work = make_work_items(counts, offsets, cfg.tri_batch, wcap)
+        tile_of_work = jnp.clip(work.cell // NS, 0, num_tiles - 1)
         ray_blocks = rays_t[tile_of_work]                # [Wcap, R, 3]
         tmin_w, pair_w = _work_chunk_min(
             vertices, faces, grid, work, ray_blocks, eye, cfg, chunk_size)
         value_lookup = grid.sorted_faces
 
-    # Segment-min over work items -> per (cell) candidates.
-    seg = work.cell
-    t_cell = jax.ops.segment_min(tmin_w, seg,
-                                 num_segments=cells_local + 1)
-    cand = jnp.where(tmin_w == t_cell[seg], pair_w, jnp.int32(2**31 - 1))
-    win_cell = jax.ops.segment_min(cand, seg,
-                                   num_segments=cells_local + 1)
+        # Segment-min over work items -> per (cell) candidates.
+        seg = work.cell
+        t_cell = jax.ops.segment_min(tmin_w, seg,
+                                     num_segments=cells_local + 1)
+        cand = jnp.where(tmin_w == t_cell[seg], pair_w,
+                         jnp.int32(2**31 - 1))
+        win_cell = jax.ops.segment_min(cand, seg,
+                                       num_segments=cells_local + 1)
 
-    t_cell = t_cell[:cells_local].reshape(num_tiles, NS, R)
-    win_cell = win_cell[:cells_local].reshape(num_tiles, NS, R)
+        t_cell = t_cell[:cells_local].reshape(num_tiles, NS, R)
+        win_cell = win_cell[:cells_local].reshape(num_tiles, NS, R)
 
     # Winner pair index -> face id here (instead of after the slab scan)
     # so the heavy-list candidates can be merged by (t, face) lex-min —

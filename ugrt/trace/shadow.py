@@ -222,7 +222,70 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     sh_dirs = jnp.pad(normalize(delta, xp=jnp),
                       ((0, n_pad - n), (0, 0)))
 
-    # Cell runs (segments) of the sorted stream.
+    if backend == "pallas":
+        # v3 window scheduler (ugrt.trace.pallas_tracer): work item =
+        # (128-ray block of the sorted stream, 128-triangle window of
+        # the light grid's sorted pair array), in-kernel cell-key
+        # masking.  A block's cells are a contiguous key range (the
+        # stream is sorted), so its pair span is contiguous; windows
+        # are the 128-aligned cover of that span.
+        from ugrt.trace import pallas_tracer as pt
+
+        assert R == 128, "pallas shadow backend uses 128-ray blocks"
+        tri_w = pt.pack_tri_windows(vertices, faces, light_grid, L)
+        NW = tri_w.shape[0]
+        if work_capacity is None:
+            work_capacity = 2 * NB + NW + 64
+        wcap = work_capacity
+
+        scell_blk = scells.reshape(NB, R)
+        first_cell = scell_blk[:, 0]   # sorted: block min cell
+        last_real = jnp.max(
+            jnp.where(scell_blk < sentinel, scell_blk, -1), axis=1)
+
+        rows = jnp.concatenate(
+            [sh_dirs, dist_pt[:, None]], axis=1)          # [n_pad, 4]
+        rows_T = jnp.swapaxes(rows.reshape(NB, R, 4), 1, 2)
+        guard = jnp.concatenate(
+            [jnp.zeros((1, 4, R), jnp.float32),
+             jnp.full((1, 1, R), -1.0, jnp.float32),
+             jnp.zeros((1, 3, R), jnp.float32)], axis=1)
+
+        shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
+        overflow = jnp.asarray(False)
+        for slab in range(NS):
+            keyrow = jnp.where(
+                scell_blk < sentinel,
+                (scell_blk * NS + slab).astype(jnp.float32),
+                -1.0)[:, None, :]                         # [NB, 1, R]
+            rays_b = jnp.concatenate(
+                [rows_T, keyrow, jnp.zeros((NB, 3, R), jnp.float32)],
+                axis=1)
+            rays_b = jnp.concatenate([rays_b, guard], axis=0)
+
+            k1 = jnp.clip(first_cell, 0, sentinel - 1) * NS + slab
+            k2 = jnp.clip(last_real, 0, sentinel - 1) * NS + slab
+            lo = light_grid.cell_offset[k1]
+            hi = light_grid.cell_offset[k2] + light_grid.cell_count[k2]
+            live = last_real >= 0
+            lo = jnp.where(live, lo, 0)
+            hi = jnp.where(live, hi, 0)
+            win_idx, win_blk, ovf = pt.make_windows(lo, hi, wcap, NW)
+            overflow = overflow | ovf
+            sh_w = pt.shadow_sweep(tri_w, rays_b, win_idx, win_blk,
+                                   cfg=cfg, interpret=interpret)
+            shadow_blocks = jnp.maximum(
+                shadow_blocks,
+                jax.ops.segment_max(sh_w, win_blk,
+                                    num_segments=NB + 1)[:NB])
+
+        shadowed_sorted = shadow_blocks.reshape(n_pad)[:n]
+        shadowed = jnp.zeros((n,), dtype=jnp.int32).at[sorted_ray].max(
+            shadowed_sorted)
+        shadowed = jnp.maximum(shadowed, shadow_heavy)
+        return shadowed.reshape(H, W), overflow
+
+    # Cell runs (segments) of the sorted stream (XLA backend).
     pos = jnp.arange(n_pad, dtype=jnp.int32)
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=jnp.bool_),
@@ -245,22 +308,6 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         work_capacity = shadow_work_capacity(
             cfg, n, light_grid.sorted_faces.shape[0])
     wcap = work_capacity
-
-    if backend == "pallas":
-        from ugrt.trace import pallas_tracer
-
-        tri9 = pallas_tracer.tri_components(vertices, faces, light_grid, L)
-        # Block ray data [NB+1, R, 8]: lanes 0:3 shadow dir, lane 3 =
-        # light-to-point distance, lane 4 = ray cell id (f32, exact for
-        # cell ids < 2^24), lanes 5:8 zero.  Built by reshape, not
-        # gather; +1 guard row (sentinel cell) for clipped block ids of
-        # dead items.
-        cellf = scells.astype(jnp.float32)[:, None]
-        rows = jnp.concatenate(
-            [sh_dirs, dist_pt[:, None], cellf,
-             jnp.zeros((n_pad, 3), jnp.float32)], axis=1)  # [n_pad, 8]
-        rays_blk = jnp.pad(rows.reshape(NB, R, 8), ((0, 1), (0, 0), (0, 0)))
-        rays_blk = rays_blk.at[NB, :, 4].set(float(sentinel))
 
     shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
     overflow = jnp.asarray(False)
@@ -292,74 +339,66 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         w_blk = jnp.where(uvalid, blk, NB)
         w_cell = seg_cell[s_of]
 
-        if backend == "pallas":
-            sh_i = pallas_tracer.shadow_sweep_pallas(
-                tri9, rays_blk, w_off.astype(jnp.int32),
-                w_cnt.astype(jnp.int32),
-                jnp.clip(w_blk, 0, NB).astype(jnp.int32),
-                w_cell.astype(jnp.int32), cfg=cfg, interpret=interpret)
-            sh = (sh_i > 0).astype(jnp.int32)              # [Wcap, R]
-        else:
-            def chunk_body(args):
-                c_off, c_cnt, c_blk, c_cell = args
-                idx = jnp.clip(c_off[:, None] + lane[None, :], 0,
-                               light_grid.sorted_faces.shape[0] - 1)
-                fidx = jnp.clip(light_grid.sorted_faces[idx], 0,
-                                faces.shape[0] - 1)
-                v = vertices[faces[fidx]]                    # [C, B, 3, 3]
-                v0 = v[:, :, 0]
-                e1 = v[:, :, 1] - v0
-                e2 = v[:, :, 2] - v0
-                tvec = L[None, None, :] - v0
+        def chunk_body(args):
+            c_off, c_cnt, c_blk, c_cell = args
+            idx = jnp.clip(c_off[:, None] + lane[None, :], 0,
+                           light_grid.sorted_faces.shape[0] - 1)
+            fidx = jnp.clip(light_grid.sorted_faces[idx], 0,
+                            faces.shape[0] - 1)
+            v = vertices[faces[fidx]]                    # [C, B, 3, 3]
+            v0 = v[:, :, 0]
+            e1 = v[:, :, 1] - v0
+            e2 = v[:, :, 2] - v0
+            tvec = L[None, None, :] - v0
 
-                ridx = c_blk[:, None] * R + ray_lane[None, :]
-                d = sh_dirs[ridx]                            # [C, R, 3]
-                dp = dist_pt[ridx]                           # [C, R]
-                rc = scells[ridx]                            # [C, R]
+            ridx = c_blk[:, None] * R + ray_lane[None, :]
+            d = sh_dirs[ridx]                            # [C, R, 3]
+            dp = dist_pt[ridx]                           # [C, R]
+            rc = scells[ridx]                            # [C, R]
 
-                tmt = moller_trumbore_t(tvec, e1, e2, d, cfg, abs_t=False)
-                # intersectTri accept: nonzero and t < 999999.9
-                # (light_kernel.cu:43-47); negative t passes.
-                hit = (tmt != 0) & (tmt < jnp.float32(999999.9))
-                if not cfg.quirks.shadow_accept_negative_t:
-                    hit = hit & (tmt > 0)
+            tmt = moller_trumbore_t(tvec, e1, e2, d, cfg, abs_t=False)
+            # intersectTri accept: nonzero and t < 999999.9
+            # (light_kernel.cu:43-47); negative t passes.
+            hit = (tmt != 0) & (tmt < jnp.float32(999999.9))
+            if not cfg.quirks.shadow_accept_negative_t:
+                hit = hit & (tmt > 0)
 
-                occ = (L[None, None, None, :]
-                       + tmt[..., None] * d[:, :, None, :])
-                dl = occ - L[None, None, None, :]
-                dist_occ = jnp.sqrt(dot(dl, dl))
-                small = (dist_occ + jnp.float32(cfg.shadow_epsilon)
-                         < dp[..., None])
+            occ = (L[None, None, None, :]
+                   + tmt[..., None] * d[:, :, None, :])
+            dl = occ - L[None, None, None, :]
+            dist_occ = jnp.sqrt(dot(dl, dl))
+            small = (dist_occ + jnp.float32(cfg.shadow_epsilon)
+                     < dp[..., None])
 
-                live_tri = (lane[None, None, :] < c_cnt[:, None, None])
-                live_ray = rc == c_cell[:, None]
-                sh = jnp.any(hit & small & live_tri, axis=-1) & live_ray
-                return sh.astype(jnp.int32)                  # [C, R]
+            live_tri = (lane[None, None, :] < c_cnt[:, None, None])
+            live_ray = rc == c_cell[:, None]
+            sh = jnp.any(hit & small & live_tri, axis=-1) & live_ray
+            return sh.astype(jnp.int32)                  # [C, R]
 
-            def chunk_fn(args):
-                # Work items are packed valid-first, so whole chunks
-                # beyond the live count are dead — skip their compute.
-                # Dead-branch outputs derive from traced inputs
-                # (shard_map varying-axes provenance).
-                def dead(a):
-                    return ((a[0][:, None] + ray_lane[None, :]) < 0
-                            ).astype(jnp.int32)
+        def chunk_fn(args):
+            # Work items are packed valid-first, so whole chunks
+            # beyond the live count are dead — skip their compute.
+            # Dead-branch outputs derive from traced inputs
+            # (shard_map varying-axes provenance).
+            def dead(a):
+                return ((a[0][:, None] + ray_lane[None, :]) < 0
+                        ).astype(jnp.int32)
 
-                return jax.lax.cond(jnp.any(args[1] > 0), chunk_body,
-                                    dead, args)
+            return jax.lax.cond(jnp.any(args[1] > 0), chunk_body,
+                                dead, args)
 
-            n_chunks = -(-wcap // chunk_size)
-            pad = n_chunks * chunk_size - wcap
+        n_chunks = -(-wcap // chunk_size)
+        pad = n_chunks * chunk_size - wcap
 
-            def pad0(x):
-                return jnp.pad(x, (0, pad))
+        def pad0(x):
+            return jnp.pad(x, (0, pad))
 
-            xs = (pad0(w_off).reshape(n_chunks, chunk_size),
-                  pad0(w_cnt).reshape(n_chunks, chunk_size),
-                  pad0(jnp.clip(w_blk, 0, NB - 1)).reshape(
-                      n_chunks, chunk_size),
-                  pad0(w_cell).reshape(n_chunks, chunk_size))
-            sh = jax.lax.map(chunk_fn, xs).reshape(-1, R)[:wcap]
+        xs = (pad0(w_off).reshape(n_chunks, chunk_size),
+              pad0(w_cnt).reshape(n_chunks, chunk_size),
+              pad0(jnp.clip(w_blk, 0, NB - 1)).reshape(
+                  n_chunks, chunk_size),
+              pad0(w_cell).reshape(n_chunks, chunk_size))
+        sh = jax.lax.map(chunk_fn, xs).reshape(-1, R)[:wcap]
 
         sh = jnp.where(uvalid[:, None], sh, 0)
         shadow_blocks = jnp.maximum(
