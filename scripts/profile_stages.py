@@ -70,7 +70,7 @@ sh2 = timeit("shadow pass (xla R=128)", shad_x, verts, lgrid1, prim)
 print("  shadow match:", bool(jnp.array_equal(sh, sh2)))
 
 # --- full pipeline
-fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas"))
+fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas")[0])
 timeit("full forward", fwd, verts, mats)
 target = jnp.zeros((1024,1024,3), jnp.float32)
 def step(v, m):

@@ -51,7 +51,7 @@ import numpy as _np
 print("  shadow match:", _np.array_equal(_np.asarray(sh), _np.asarray(sh2)), int(sh2.sum()))
 print("  shadowed:", int(sh.sum()))
 
-fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas"))
+fwd = jax.jit(lambda v, m: render_grad.render_color(v, m, faces, mi, cc, lcc, lp, cfg=cfg, capacity=cap, num_lights=1, use_spot=True, chunk_size=CH, trace_backend="pallas")[0])
 timeit("full forward", fwd, verts, mats)
 
 target = jnp.zeros((1024,1024,3), jnp.float32)

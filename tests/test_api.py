@@ -109,7 +109,7 @@ def test_training_loop_materials(tiny_cfg, tmp_path):
     lcc = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg,
                                               1.0))[None]
     lp = jnp.asarray(np.asarray(light.eye, np.float32))
-    target = render_grad.render_color(
+    target, _ = render_grad.render_color(
         jnp.asarray(sc.vertices), jnp.asarray(sc.materials) * 0.5,
         jnp.asarray(sc.faces), jnp.asarray(sc.mat_index), cc, lcc, lp,
         cfg=cfg, capacity=cap, num_lights=1, use_spot=True)

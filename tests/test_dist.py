@@ -36,7 +36,7 @@ def test_sharded_render_matches_single_device(small_cfg, cornell,
         cfg, cornell, generic_camera, generic_light)
     cap = cfg.pair_capacity(cornell.num_faces)
 
-    single = render_grad.render_color(
+    single, _ = render_grad.render_color(
         verts, mats, faces, mat_index, cc, lcc, lp, cfg=cfg, capacity=cap,
         num_lights=1, use_spot=True)
 
@@ -56,13 +56,13 @@ def test_sharded_grads_match_single_device(tiny_cfg, cornell,
         cfg, cornell, generic_camera, generic_light)
     cap = cfg.pair_capacity(cornell.num_faces)
 
-    target = render_grad.render_color(
+    target, _ = render_grad.render_color(
         verts, mats * 0.7, faces, mat_index, cc, lcc, lp, cfg=cfg,
         capacity=cap, num_lights=1, use_spot=False)
 
     # Single-device reference grads.
     def loss_fn(v, m):
-        color = render_grad.render_color(
+        color, _ = render_grad.render_color(
             v, m, faces, mat_index, cc, lcc, lp, cfg=cfg, capacity=cap,
             num_lights=1, use_spot=False)
         return jnp.sum((color - target) ** 2) / (3.0 * cfg.image_size)
@@ -80,3 +80,23 @@ def test_sharded_grads_match_single_device(tiny_cfg, cornell,
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gm8), np.asarray(gm1),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_pallas_matches_sharded_xla(tiny_cfg, cornell,
+                                            generic_camera, generic_light,
+                                            mesh8):
+    """The multi-chip path must run the fused kernels (VERDICT r2 #6):
+    sharded pallas (interpret) render == sharded XLA render, bitwise."""
+    cfg = tiny_cfg
+    verts, mats, faces, mat_index, cc, lcc, lp = _inputs(
+        cfg, cornell, generic_camera, generic_light)
+    cap = cfg.pair_capacity(cornell.num_faces)
+
+    r_x = dmesh.sharded_render(mesh8, cfg=cfg, capacity=cap,
+                               num_lights=1, use_spot=True)
+    r_p = dmesh.sharded_render(mesh8, cfg=cfg, capacity=cap,
+                               num_lights=1, use_spot=True,
+                               trace_backend="pallas", interpret=True)
+    img_x = np.asarray(r_x(verts, mats, faces, mat_index, cc, lcc, lp))
+    img_p = np.asarray(r_p(verts, mats, faces, mat_index, cc, lcc, lp))
+    np.testing.assert_array_equal(img_p, img_x)

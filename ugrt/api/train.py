@@ -87,7 +87,6 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
         step_fns = {}
 
         def grads_for(frame, p):
-            key = id(None)
             if "fn" not in step_fns:
                 step_fns["fn"] = dmesh.sharded_train_step(
                     mesh, cfg=cfg, capacity=cap, num_lights=1,
@@ -103,17 +102,24 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
         # executable parameters whose count can go stale across traces
         # ("Execution supplied N buffers but compiled program expected M").
         def _loss(v, m, f, mi, cc, lc, l, target):
-            color = render_grad.render_color(
+            color, overflow = render_grad.render_color(
                 v, m, f, mi, cc, lc, l, cfg=cfg,
                 capacity=cap, num_lights=1, use_spot=True)
-            return jnp.mean((color - target) ** 2)
+            return jnp.mean((color - target) ** 2), overflow
 
-        grad_fn = jax.jit(jax.value_and_grad(_loss, argnums=(0, 1)))
+        grad_fn = jax.jit(
+            jax.value_and_grad(_loss, argnums=(0, 1), has_aux=True))
 
         def grads_for(frame, p):
-            loss, (gv, gm) = grad_fn(p["vertices"], p["materials"],
-                                     faces, mat_index, ccs[frame], lcc,
-                                     lp, targets[frame])
+            (loss, overflow), (gv, gm) = grad_fn(
+                p["vertices"], p["materials"], faces, mat_index,
+                ccs[frame], lcc, lp, targets[frame])
+            if bool(overflow):
+                raise RuntimeError(
+                    "static capacity overflow during training step: "
+                    "geometry was clipped and gradients are corrupt — "
+                    "raise RenderConfig.pair_capacity_factor / "
+                    "heavy_capacity / shadow work capacity")
             return loss, dict(vertices=gv, materials=gm)
 
     log = []

@@ -31,8 +31,12 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
                  light_camcoords, light_position, *, cfg: RenderConfig,
                  capacity: int, num_lights: int, use_spot: bool,
                  chunk_size: int = 256, trace_backend: str = "xla"):
-    """Float RGB [H, W, 3] image, differentiable w.r.t. vertices and
-    materials.  Matches the u8 reference image up to quantization."""
+    """(Float RGB [H, W, 3] image, overflow []) — differentiable w.r.t.
+    vertices and materials.  Matches the u8 reference image up to
+    quantization.  ``overflow`` is true when any static capacity (pair
+    buffer, heavy list, shadow work) clipped real work: the image then
+    silently misses geometry and gradients are corrupt — callers must
+    surface it (train.py raises)."""
     vsg = jax.lax.stop_gradient(vertices)
 
     grid = gbuild.build_perspective_grid(
@@ -44,15 +48,17 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     eye = camcoords[0:3]
     H, W = cfg.screen_height, cfg.screen_width
     shadowed = jnp.zeros((H, W), dtype=jnp.int32)
+    overflow = grid.overflow
     shade_cc = camcoords
     for li in range(num_lights):
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
             vsg, faces, lcc, cfg=cfg, capacity=capacity)
-        sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye, cfg,
-                                     chunk_size=chunk_size,
-                                     backend=trace_backend)
+        sh, sh_ovf = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
+                                         cfg, chunk_size=chunk_size,
+                                         backend=trace_backend)
         shadowed = jnp.maximum(shadowed, sh)
+        overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc
     shadowed = jax.lax.stop_gradient(shadowed)
 
@@ -64,7 +70,7 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     else:
         color = shaders.lambert(refined, shade_cc, light_position, eye,
                                 mat_index, materials, cfg, xp=jnp)
-    return shaders.add_shadows_f32(color, shadowed, xp=jnp)
+    return shaders.add_shadows_f32(color, shadowed, xp=jnp), overflow
 
 
 @functools.partial(
@@ -79,18 +85,19 @@ def render_and_grad(vertices, materials, faces, mat_index, camcoords,
     """Image + MSE-to-target loss + gradients w.r.t. (vertices, materials).
 
     The canonical inverse-rendering step: everything (grid rebuild, trace,
-    shadow, shade, backward) is one XLA graph.
+    shadow, shade, backward) is one XLA graph.  ``overflow`` in the result
+    flags clipped static capacities (gradients untrustworthy).
     """
 
     def loss_fn(verts, mats):
-        color = render_color(
+        color, overflow = render_color(
             verts, mats, faces, mat_index, camcoords, light_camcoords,
             light_position, cfg=cfg, capacity=capacity,
             num_lights=num_lights, use_spot=use_spot,
             chunk_size=chunk_size, trace_backend=trace_backend)
-        return jnp.mean((color - target) ** 2), color
+        return jnp.mean((color - target) ** 2), (color, overflow)
 
-    (loss, color), grads = jax.value_and_grad(
+    (loss, (color, overflow)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(vertices, materials)
     return dict(loss=loss, color=color, grad_vertices=grads[0],
-                grad_materials=grads[1])
+                grad_materials=grads[1], overflow=overflow)

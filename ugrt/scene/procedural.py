@@ -135,7 +135,11 @@ def cathedral(num_faces_target: int = 75000, seed: int = 0) -> Scene:
 
     # Hall interior: x in [0,30], y in [0,20], z in [0,10] (z-up like the
     # sibenik camera which uses up=(0,0,1)).
-    wall_n = max(4, int(np.sqrt(num_faces_target / 14)))
+    # Face count: 4 big walls at 2*wall_n^2 tris each, 2 end walls at
+    # 2*(wall_n//2+1)^2, plus 12 columns * 8 sides * 2*col_n^2 = 6912;
+    # total ~ 9*wall_n^2 + 6912, solved for wall_n to land on target.
+    col_tris = 12 * 8 * 2 * 6 * 6
+    wall_n = max(4, int(np.sqrt(max(num_faces_target - col_tris, 144) / 9)))
     add_patch([0, 0, 0], [30, 0, 0], [30, 20, 0], [0, 20, 0], 0, wall_n)  # floor
     add_patch([0, 0, 10], [30, 0, 10], [30, 20, 10], [0, 20, 10], 1, wall_n)
     add_patch([0, 0, 0], [30, 0, 0], [30, 0, 10], [0, 0, 10], 2, wall_n)

@@ -164,8 +164,8 @@ def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref, t_out, i_out, *,
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1) | (t <= 0)
               | (tri_key != ray_cell))
     t = jnp.where(reject, jnp.float32(_BIG), t)      # [128 tri, 128 ray]
-    t_out[0] = jnp.min(t, axis=0)
-    i_out[0] = jnp.argmin(t, axis=0).astype(jnp.int32)
+    t_out[0, 0] = jnp.min(t, axis=0)
+    i_out[0, 0] = jnp.argmin(t, axis=0).astype(jnp.int32)
 
 
 def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref, sh_out, *,
@@ -217,12 +217,15 @@ def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref, sh_out, *,
     oz = t * dz
     dist_occ = jnp.sqrt(ox * ox + oy * oy + oz * oz)
     sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon) < dist_pt)
-    sh_out[0] = jnp.max(sh.astype(jnp.int32), axis=0)
+    sh_out[0, 0] = jnp.max(sh.astype(jnp.int32), axis=0)
 
 
 def _sweep_call(kernel, tri_windows, rays_blocks, win_idx, win_block,
                 out_shapes, interpret: bool):
     wcap = win_idx.shape[0]
+    # Outputs are [wcap, 1, 128] with block (1, 1, 128): Mosaic requires
+    # the block's last two dims to divide (8, 128) or equal the array
+    # dims — a 2D (1, 128) block over [wcap, 128] fails that check.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(wcap,),
@@ -233,17 +236,18 @@ def _sweep_call(kernel, tri_windows, rays_blocks, win_idx, win_block,
                          lambda i, win, blk: (blk[i], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 128), lambda i, win, blk: (i, 0))
+            pl.BlockSpec((1, 1, 128), lambda i, win, blk: (i, 0, 0))
             for _ in out_shapes
         ],
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((wcap, 128), dt)
+        out_shape=[jax.ShapeDtypeStruct((wcap, 1, 128), dt)
                    for dt in out_shapes],
         interpret=interpret,
     )(win_idx, win_block, tri_windows, rays_blocks)
+    return [o.reshape(wcap, 128) for o in outs]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

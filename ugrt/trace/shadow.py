@@ -235,7 +235,13 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         tri_w = pt.pack_tri_windows(vertices, faces, light_grid, L)
         NW = tri_w.shape[0]
         if work_capacity is None:
-            work_capacity = 2 * NB + NW + 64
+            # A block's window cover is its span's windows; blocks inside
+            # a ray-heavy cell each re-cover that cell's whole list, so
+            # the total is data-dependent.  Measured on reference-scale
+            # scenes (scripts/measure_shadow_work.py): ~7-8.5 windows per
+            # block.  12x + the disjoint-span floor gives headroom; the
+            # overflow flag guards the rest.
+            work_capacity = 12 * NB + NW + 256
         wcap = work_capacity
 
         scell_blk = scells.reshape(NB, R)
