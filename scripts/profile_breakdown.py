@@ -1,13 +1,18 @@
-"""Fine-grained timing of primary/shadow sub-stages on TPU."""
+"""Fine-grained timing of primary/shadow sub-stages on TPU (v4 API).
+
+All numbers include the axon-tunnel dispatch/fence floor printed first
+(roundtrip) — subtract it to compare sub-stage costs.
+"""
 import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
-import time
 import numpy as np
 import jax, jax.numpy as jnp
 from ugrt.config import RenderConfig
 from ugrt.core import camera as cam
 from ugrt.scene import procedural
 from ugrt.grid import build as gbuild, binning
-from ugrt.trace import primary as tprim, shadow as tshadow, pallas_tracer
+from ugrt.trace import primary as tprim, shadow as tshadow
+from ugrt.trace import heavy as theavy
+from ugrt.trace import pallas_tracer as pt
 from ugrt.core.vecmath import dot, normalize
 
 cfg = RenderConfig()
@@ -19,23 +24,25 @@ light = cam.CameraSpec(eye=(14, 13, 8), look_at=(14, 13, 0), up=(0, 1, 0),
                        near=0.1, far=100.0)
 cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, 1.0))
 lcc = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg, 1.0))
-lp = jnp.asarray(np.asarray(light.eye, np.float32))
 cap = cfg.pair_capacity(sc.num_faces)
 verts = jnp.asarray(sc.vertices); faces = jnp.asarray(sc.faces)
 
-
 from _timing import timeit, sync, roundtrip_ms  # noqa: E402
 
-grid8 = timeit("grid build align8", lambda v: gbuild.build_perspective_grid(
+print(f"fence roundtrip: {roundtrip_ms():.2f} ms")
+
+grid = timeit("grid build persp", lambda v: gbuild.build_perspective_grid(
     v, faces, cc, cfg=cfg, capacity=cap), verts)
-lgrid8 = timeit("light grid align8", lambda v: gbuild.build_spherical_grid(
+lgrid = timeit("light grid sph", lambda v: gbuild.build_spherical_grid(
     v, faces, lcc, cfg=cfg, capacity=cap), verts)
+print("  heavy faces persp:", int(grid.heavy_count),
+      " sph:", int(lgrid.heavy_count))
 
 eye = cc[0:3]
 H, W = cfg.screen_height, cfg.screen_width
 
 # --- grid build internals ---
-r = timeit("  binning ranges", lambda v: binning.perspective_face_ranges(
+timeit("  binning ranges", lambda v: binning.perspective_face_ranges(
     v, faces, cc, cfg.grid_x, cfg.grid_y, cfg.num_slabs, xp=jnp), verts)
 
 
@@ -47,16 +54,25 @@ def expand_sort(v):
     z_lo, z_hi = binning.z_minmax(light_r["zmin"], xp=jnp)
     gz = binning.slab_bins(light_r["zmin"], z_lo, z_hi, cfg.num_slabs,
                            xp=jnp)
-    return gbuild._expand_and_sort(light_r, gz, cfg, cap, 8)
+    return gbuild._expand_and_sort(light_r, gz, cfg, cap, 1)
 
 
 timeit("  expand+sort+csr", expand_sort, verts)
 
-# --- primary internals (pallas_tracer v3 API) ---
-from ugrt.trace import pallas_tracer as pt  # noqa: E402
 
+def sort_only(v):
+    rr = binning.perspective_face_ranges(v, faces, cc, cfg.grid_x,
+                                         cfg.grid_y, cfg.num_slabs, xp=jnp)
+    key = (rr["gxmin"] * cfg.grid_y + rr["gymin"]).astype(jnp.uint32)
+    big = jnp.pad(key, (0, cap - key.shape[0]))
+    return jax.lax.sort(big)
+
+
+timeit("  lax.sort cap u32", sort_only, verts)
+
+# --- primary internals (v4) ---
 tri_w = timeit("pack_tri_windows", lambda v: pt.pack_tri_windows(
-    v, faces, grid8, eye), verts)
+    v, faces, grid, eye), verts)
 NW = tri_w.shape[0]
 NS = cfg.num_slabs
 num_tiles = cfg.grid_x * cfg.grid_y
@@ -73,7 +89,7 @@ def windows_fn(g):
     return pt.make_windows(lo, hi, wcap, NW)
 
 
-win_idx, win_blk, _ = timeit("  make_windows", windows_fn, grid8)
+win_idx, win_blk, _ = timeit("  make_windows", windows_fn, grid)
 print("  live windows:", int((win_blk < NBp).sum()), "of", wcap)
 
 
@@ -90,19 +106,24 @@ def rays_fn(c):
 
 rays_b = timeit("  ray blocks prep", rays_fn, cc)
 
-tw, lw = timeit("  primary_sweep", lambda t9, rb: pt.primary_sweep(
+tb, pb = timeit("  primary_sweep v4", lambda t9, rb: pt.primary_sweep(
     t9, rb, win_idx, win_blk, cfg=cfg), tri_w, rays_b)
 
+# --- heavy sweep cost (primary) ---
+co = jax.jit(lambda v: theavy.heavy_coeffs(
+    v, faces, grid.heavy_faces, grid.heavy_count, eye,
+    grid.heavy_ranges))(verts)
+dirs_flat = jax.jit(lambda c: cam.primary_ray_dirs(c, W, H, xp=jnp))(cc)
+tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+gx_r = jnp.repeat(tile_ids // cfg.grid_y, 64)
+gy_r = jnp.repeat(tile_ids % cfg.grid_y, 64)
+rt_flat = tprim.tile_rays(dirs_flat, cfg).reshape(-1, 3)
+timeit("  heavy sweep 1Mx1024", lambda d: theavy.heavy_min_t(
+    co, d, gx_r, gy_r, cfg), rt_flat)
 
-def post(t_w, lane_w, v):
-    t_blk = jax.ops.segment_min(t_w, win_blk, num_segments=NBp + 1)
-    pair_w = win_idx[:, None] * pt.WIN + lane_w
-    cand = jnp.where(t_w == t_blk[win_blk], pair_w, jnp.int32(2**31 - 1))
-    p_blk = jax.ops.segment_min(cand, win_blk, num_segments=NBp + 1)
-    return t_blk, p_blk
+prim = timeit("primary full (pallas)", lambda v, g: tprim.trace_primary(
+    v, faces, cc, g, cfg, backend="pallas"), verts, grid)
 
-
-timeit("  segment-min post", post, tw, lw, verts)
 # --- shadow internals ---
 t = prim["t"].reshape(-1)
 dirs_r = prim["ray_dir"].reshape(-1, 3)
@@ -131,5 +152,5 @@ timeit("  gather pts through perm", lambda p, sr: p[sr], pts, sorted_ray)
 
 sh = timeit("shadow full (pallas)", lambda v, g, p: tshadow.trace_shadow(
     v, faces, lcc, g, p, eye, cfg, backend="pallas")[0],
-    verts, lgrid8, prim)
+    verts, lgrid, prim)
 print("shadowed:", int(sh.sum()))

@@ -163,12 +163,13 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
     key = jnp.where(valid, key, sentinel)
     val = jnp.where(valid, face_c, -1)
 
-    # Real per-cell histogram (key order does not matter for segment_sum).
-    cell_count = jax.ops.segment_sum(
-        valid.astype(jnp.int32), key,
-        num_segments=num_cells + 1)[:num_cells].astype(jnp.int32)
-
     if align > 1:
+        # The align path pads per cell BEFORE the sort and needs the
+        # histogram up front; a 16k-bin scatter-add over the (unsorted)
+        # keys is acceptable off the hot path.
+        cell_count = jax.ops.segment_sum(
+            valid.astype(jnp.int32), key,
+            num_segments=num_cells + 1)[:num_cells].astype(jnp.int32)
         # Padding pairs per cell: roundup(count) - count, keyed by the
         # cell; appended AFTER the real pairs so the stable sort places
         # them at each cell segment's end.
@@ -184,8 +185,6 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
         val = jnp.concatenate(
             [val, jnp.full((pad_cap,), -1, dtype=jnp.int32)])
         padded_count = cell_count + pad_per_cell
-    else:
-        padded_count = cell_count
 
     # Single-key packed sort when (cell, face) fits 32 bits: the radix
     # analog of CUDPP's kv sort at roughly half the cost.  Real faces
@@ -205,8 +204,19 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
     else:
         sorted_key, sorted_val = jax.lax.sort((key, val), num_keys=1)
 
-    cell_offset = (jnp.cumsum(padded_count)
-                   - padded_count).astype(jnp.int32)
+    if align > 1:
+        cell_offset = (jnp.cumsum(padded_count)
+                       - padded_count).astype(jnp.int32)
+    else:
+        # CSR from the SORTED keys: offsets[c] = # pairs with key < c,
+        # one vectorized binary search (16k queries x log2(cap) gather
+        # passes) — replaces the 590k-element scatter-add histogram,
+        # which XLA lowers serially on TPU (~20 ms at flagship sizes).
+        bounds = jnp.searchsorted(
+            sorted_key, jnp.arange(num_cells + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        cell_offset = bounds[:num_cells]
+        cell_count = bounds[1:] - bounds[:-1]
 
     return DeviceGrid(
         sorted_faces=sorted_val.astype(jnp.int32),

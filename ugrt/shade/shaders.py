@@ -167,7 +167,12 @@ def perlin_noise(x, y, width: int, seed: int, periode, xp=np):
 def perlin_shade(face_id, width_px: int, height_px: int, cfg: RenderConfig,
                  xp=np):
     """perlin_noise_shade (shader_kernel.cu:505-547): screen-space octave
-    stack, green-tinted via InterLinear, black on miss.  Returns u8 RGB."""
+    stack, black on miss.  Returns u8 RGB.
+
+    Channel math (shader_kernel.cu:528-530 with InterLinear(a,b,c) =
+    a*(1-c)+b*c, :9-12): r = InterLinear(tmp,0,0) = tmp,
+    g = InterLinear(0,tmp,0) = 0, b = InterLinear(0,0,tmp) = 0 — the
+    reference's debug shader is red-channel-only, despite appearances."""
     f32 = xp.float32
     xi = xp.arange(width_px, dtype=f32)[None, :]
     yi = xp.arange(height_px, dtype=f32)[:, None]

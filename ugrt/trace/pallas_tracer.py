@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernels for the work-item intersection sweeps (v3).
+"""Fused Pallas TPU kernels for the work-item intersection sweeps (v4).
 
 TPU analog of the reference's shared-memory inner loops (rckernel_alpha,
 /root/reference/trace_kernel.cu:147-215 and mod_light_rckernel,
@@ -6,15 +6,14 @@ light_kernel.cu:120-202): where a CUDA block stages 64 triangles into
 shared memory and tests 64 rays against them, a kernel program here keeps
 a [128 triangles x 128 rays] Moller-Trumbore block entirely in VMEM.
 
-Design (v3 — scalar-prefetch window scheduling, no XLA gathers):
+Design (v4 — scalar-prefetch window scheduling + in-kernel combine):
 
   * Triangle pair data is packed ONCE per grid into fixed 128-triangle
     *windows* of the sorted pair array: tri_windows [NW, 128, 16]
     (window, triangle-sublane, component-lane) with components
     tvec(0:3), e1(3:6), e2(6:9), cell key(9).  NW = capacity // 128.
     This is a reshape of the sorted pair order — NOT a per-work-item
-    gather (v2's gather_slabs moved ~400 MB/frame through XLA's slow
-    gather path; v3 moves zero).
+    gather.
   * Ray data is packed into fixed 128-ray *blocks* of the natural ray
     stream: rays_blocks [NB + 1, 8, 128] (block, component-sublane,
     ray-lane); last block is an all-dead guard.  For primary rays the
@@ -24,23 +23,30 @@ Design (v3 — scalar-prefetch window scheduling, no XLA gathers):
     is tested against every triangle of window w, masked by cell-key
     equality (component 9 of the window vs the ray's own cell row), so
     foreign triangles in boundary windows and padding never hit.  The
-    scheduler emits, per ray block, exactly the windows overlapping the
-    pair-array span of the block's cells — contiguous because cells are
-    sorted (grid/build.py CSR).
+    scheduler emits, per ray block, the windows overlapping the pair-
+    array span of the block's cells — contiguous because cells are
+    sorted (grid/build.py CSR) — block-major, so all items of a block
+    are consecutive.  Blocks with no pairs emit one dummy item (key
+    masking rejects everything) so every output block is initialized.
   * Both sides are fetched by Mosaic's automatic multi-buffered pipeline
     via PrefetchScalarGridSpec: the per-item (window, block) ids are
     scalar-prefetch operands consumed by the BlockSpec index maps.
-    Consecutive items usually share the ray block, which Mosaic
-    recognizes and skips the redundant copy.
-  * Per item the kernel computes the [128 tri x 128 ray] Moller-Trumbore
-    block with triangles on sublanes and rays on lanes, and reduces over
-    sublanes: min/argmin (primary) or occlusion OR (shadow).  The
-    cross-item combine (segment min/max over ray blocks) stays in XLA.
+    Consecutive items share the ray block, which Mosaic recognizes and
+    skips the redundant copy.
+  * The cross-item combine happens IN the kernel: the output block is
+    indexed by the item's ray block id, so consecutive items accumulate
+    into the same VMEM-resident [1, 128] row (min/argmin for primary,
+    occlusion OR for shadow) which Mosaic flushes when the block id
+    advances.  Outputs are [NB + 1, 128] — v3's [wcap, 128] per-item
+    outputs plus XLA segment_min/segment_max scatters (the dominant
+    overhead at 1024^2: ~100k-row scatters per pass) are gone.
 
 Operation order inside the block is IDENTICAL to the XLA path's
 moller_trumbore_t / shadow test (a*b - c*d cross products, inv_det
 multiply), just with transposed broadcasting — results are bitwise equal
-to the XLA backend, which the parity tests assert exactly.
+to the XLA backend, which the parity tests assert exactly.  The winner
+tie-break (strictly-smaller-t update over ascending windows, first-min
+sublane within a window) equals the XLA path's (t, pair-index) lex-min.
 
 The kernels are combinatorial-forward only; gradients flow through
 ugrt.trace.refine as usual.
@@ -60,12 +66,18 @@ from ugrt.core.ragged import segment_ids_from_starts
 from ugrt.grid.build import DeviceGrid
 
 _BIG = 3.0e38  # plain float: a jnp scalar would be a captured const
-WIN = 128      # triangles per window (pair_capacity is a multiple)
+_MAXI = 2**31 - 1
+WIN = 128      # default triangles per window (pair_capacity multiple)
 NCOMP = 16     # component lanes per triangle row (10 used, 16 for tiling)
+# Window size trade-off: per-item fixed overhead (grid step + extracts)
+# is ~0.5 us against ~0.85 us of [128x128] compute, so long-span sweeps
+# (shadow: ~8.5 windows/block) amortize it with wider windows; primary
+# spans are ~1 window, where wider windows would just add masked waste.
 
 
-def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin):
-    """[NW, 128, 16] windowed pair data (tri-sublane, component-lane).
+def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin,
+                     win: int = WIN):
+    """[NW, win, 16] windowed pair data (tri-sublane, component-lane).
 
     Components 0:3 tvec = origin - v0, 3:6 e1, 6:9 e2 — the staging of
     trace_kernel.cu:149-175 (origin = eye) / light_kernel.cu:144-146
@@ -85,24 +97,77 @@ def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin):
     key = grid.sorted_keys.astype(jnp.float32)[:, None]
     out = jnp.concatenate(
         [data, key, jnp.zeros((cap, NCOMP - 10), jnp.float32)], axis=1)
-    pad = -cap % WIN
+    pad = -cap % win
     if pad:
         out = jnp.pad(out, ((0, pad), (0, 0)))
-    return out.reshape((cap + pad) // WIN, WIN, NCOMP)
+    return out.reshape((cap + pad) // win, win, NCOMP)
 
 
-def make_windows(lo, hi, wcap: int, nwin_blocks: int):
+def pack_tri_windows_coeff(vertices, faces, grid: DeviceGrid, origin,
+                           win: int = WIN):
+    """[NW, win, 16] windowed SHADOW pair data in coefficient form.
+
+    Möller–Trumbore against a fixed origin collapses to three dot
+    products of the ray direction with per-triangle constant vectors
+    plus one per-triangle scalar (see ugrt.trace.heavy docstring):
+
+        det   = d.(e2 x e1)         = d.a      components 0:3
+        u*det = d.(e2 x tvec)       = d.b      components 3:6
+        v*det = d.(tvec x e1)       = d.c      components 6:9
+        t*det = e2.(tvec x e1)      = k        component  9
+
+    component 10 = cell key.  ~40 VPU ops per [win x 128] item instead
+    of ~55 for the direct form.  det/u/v/t equal the direct form as real
+    numbers with different f32 rounding (triple-product reassociation);
+    the shadow decision has a shadow_epsilon = 1e-3 margin, so ulp-level
+    differences cannot realistically flip a pixel — same documented
+    divergence class as ugrt.trace.heavy.  Padding pairs (face -1) zero
+    a, so det = 0 rejects them.
+    """
+    cap = grid.sorted_faces.shape[0]
+    fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
+    v = vertices[faces[fidx]]            # [cap, 3, 3]
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    tvec = origin[None, :] - v0
+
+    def cr(p, q):  # cross product [cap, 3]
+        return jnp.stack([p[:, 1] * q[:, 2] - p[:, 2] * q[:, 1],
+                          p[:, 2] * q[:, 0] - p[:, 0] * q[:, 2],
+                          p[:, 0] * q[:, 1] - p[:, 1] * q[:, 0]], axis=1)
+
+    a = cr(e2, e1)
+    b = cr(e2, tvec)
+    c = cr(tvec, e1)
+    k = jnp.sum(e2 * c, axis=1, keepdims=True)
+    data = jnp.concatenate([a, b, c, k], axis=1)     # [cap, 10]
+    data = jnp.where((grid.sorted_faces >= 0)[:, None], data, 0.0)
+    key = grid.sorted_keys.astype(jnp.float32)[:, None]
+    out = jnp.concatenate(
+        [data, key, jnp.zeros((cap, NCOMP - 11), jnp.float32)], axis=1)
+    pad = -cap % win
+    if pad:
+        out = jnp.pad(out, ((0, pad), (0, 0)))
+    return out.reshape((cap + pad) // win, win, NCOMP)
+
+
+def make_windows(lo, hi, wcap: int, nwin_blocks: int, win: int = WIN):
     """Expand per-ray-block pair spans [lo, hi) into a flat window list.
 
-    lo/hi: [NB] int32 offsets into the sorted pair array (hi <= lo means
-    no work).  Returns (win_idx [wcap], win_block [wcap], overflow []):
-    item u covers window win_idx[u] of tri_windows for ray block
-    win_block[u].  Dead items get win_block = NB (the guard block) and
-    win_idx = 0.  nwin_blocks = NW bound for clipping.
+    lo/hi: [NB] int32 offsets into the sorted pair array.  Returns
+    (win_idx [wcap], win_block [wcap], overflow []): item u covers
+    window win_idx[u] of tri_windows for ray block win_block[u].  A
+    block with hi <= lo still emits ONE item (key masking rejects all
+    its triangles) so its output row gets initialized.  Items are
+    block-major: each block's items are consecutive — the kernels
+    detect a block's first item as blk[i] != blk[i-1] (their output
+    init point).  Trailing dead items get win_block = NB (the guard
+    block).  nwin_blocks = NW bound for clipping.
     """
     nb = lo.shape[0]
-    w0 = lo // WIN
-    nwin = jnp.where(hi > lo, (hi - 1) // WIN - w0 + 1, 0)
+    w0 = lo // win
+    nwin = jnp.where(hi > lo, (hi - 1) // win - w0 + 1, 1)
     starts = jnp.cumsum(nwin) - nwin
     total = starts[-1] + nwin[-1]
     overflow = total > wcap
@@ -111,26 +176,47 @@ def make_windows(lo, hi, wcap: int, nwin_blocks: int):
     b = segment_ids_from_starts(starts, wcap)
     valid = u < total
     win_idx = jnp.clip(w0[b] + (u - starts[b]), 0, nwin_blocks - 1)
+    win_block = jnp.where(valid, b, nb).astype(jnp.int32)
     return (jnp.where(valid, win_idx, 0).astype(jnp.int32),
-            jnp.where(valid, b, nb).astype(jnp.int32),
-            overflow)
+            win_block, overflow)
 
 
-def _cell_span(cell_offset, cell_count, k):
-    """(start, end) of cell key k's real pairs in the sorted array."""
-    off = cell_offset[k]
-    return off, off + cell_count[k]
-
-
-def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref, t_out, i_out, *,
-                    cfg: RenderConfig):
-    """One (ray block, tri window) item per grid step.
+def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref,
+                    t_out, i_out, *, cfg: RenderConfig, guard: int,
+                    win: int):
+    """One (ray block, tri window) item per grid step, accumulating into
+    the ray block's output row.
 
     tri_ref [1, 128, 16] (tri-sublane, comp-lane); rays_ref [1, 8, 128]
-    (comp-sublane, ray-lane: 0:3 dir, 3 cell key); outs [1, 128].
+    (comp-sublane, ray-lane: 0:3 dir, 3 cell key); outs [1, 1, 128]
+    indexed by ray block (min-t / winner pair index).
     """
-    del win_ref, blk_ref  # consumed by the BlockSpec index maps
+    i = pl.program_id(0)
+    # First item of a ray block (items are block-major): init the
+    # accumulator row.  SMEM reads of the prefetched blk array — no
+    # third scalar operand (SMEM is 1 MB; 3 operands at 100k+ items
+    # overflow it).
+    first = jnp.where(i == 0, 1,
+                      (blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+                      .astype(jnp.int32))
 
+    @pl.when(first == 1)
+    def _init():
+        t_out[0, 0] = jnp.full((128,), jnp.float32(_BIG))
+        i_out[0, 0] = jnp.full((128,), jnp.int32(_MAXI))
+
+    # Static-capacity padding items all target the guard ray block:
+    # skip their arithmetic entirely.  The predicate is a pure SMEM
+    # scalar (no VMEM data dependency), so it does not serialize the
+    # pipeline the way predicating on the accumulator would.
+    @pl.when(blk_ref[i] != guard)
+    def _live():
+        _primary_body(win_ref, tri_ref, rays_ref, t_out, i_out, i, cfg,
+                      win)
+
+
+def _primary_body(win_ref, tri_ref, rays_ref, t_out, i_out, i,
+                  cfg: RenderConfig, win: int):
     def tc(c):  # triangle component as [128, 1]
         return tri_ref[0][:, c][:, None]
 
@@ -164,18 +250,50 @@ def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref, t_out, i_out, *,
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1) | (t <= 0)
               | (tri_key != ray_cell))
     t = jnp.where(reject, jnp.float32(_BIG), t)      # [128 tri, 128 ray]
-    t_out[0, 0] = jnp.min(t, axis=0)
-    i_out[0, 0] = jnp.argmin(t, axis=0).astype(jnp.int32)
+    tmin = jnp.min(t, axis=0)
+    lane = jnp.argmin(t, axis=0).astype(jnp.int32)   # first-min sublane
+    pair = win_ref[i] * win + lane
+
+    # Strict-< update over ascending windows == (t, pair) lex-min: a
+    # later window can only tie with a LARGER pair index, so ties keep
+    # the earlier winner exactly like the XLA path's segment lex-min
+    # (and the reference's strict-< scan, trace_kernel.cu:196-204).
+    cur_t = t_out[0, 0]
+    upd = tmin < cur_t
+    i_out[0, 0] = jnp.where(upd, pair, i_out[0, 0])
+    t_out[0, 0] = jnp.where(upd, tmin, cur_t)
 
 
-def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref, sh_out, *,
-                   cfg: RenderConfig):
-    """Shadow item (mod_light_rckernel analog, light_kernel.cu:120-202).
+def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref,
+                   sh_out, *, cfg: RenderConfig, guard: int, win: int):
+    """Shadow item (mod_light_rckernel analog, light_kernel.cu:120-202),
+    accumulating occlusion OR into the ray block's output row.
 
     rays_ref comp rows: 0:3 shadow dir, 3 light-to-point distance,
-    4 cell key.  tvec = light - v0.  Output [1, 128] int32 flags.
+    4 cell key.  tvec = light - v0.  Output [1, 1, 128] int32 flags.
     """
-    del win_ref, blk_ref
+    i = pl.program_id(0)
+    first = jnp.where(i == 0, 1,
+                      (blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+                      .astype(jnp.int32))
+
+    @pl.when(first == 1)
+    def _init():
+        sh_out[0, 0] = jnp.zeros((128,), jnp.int32)
+
+    # Skip the ~30% static-capacity padding items (guard block) via the
+    # SMEM scalar predicate — no VMEM dependency, pipeline-friendly.
+    # (An occlusion-based early exit reading the accumulator was tried
+    # and REGRESSED ~25%: the reduce serializes Mosaic's pipeline.)
+    @pl.when(blk_ref[i] != guard)
+    def _live():
+        _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i, cfg)
+
+
+def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
+                 cfg: RenderConfig):
+    """Coefficient-form occlusion test (see pack_tri_windows_coeff)."""
+    del win_ref
 
     def tc(c):
         return tri_ref[0][:, c][:, None]
@@ -186,22 +304,17 @@ def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref, sh_out, *,
     dx, dy, dz = rc(0), rc(1), rc(2)
     dist_pt = rc(3)
     ray_cell = rc(4)
-    tvx, tvy, tvz = tc(0), tc(1), tc(2)
-    e1x, e1y, e1z = tc(3), tc(4), tc(5)
-    e2x, e2y, e2z = tc(6), tc(7), tc(8)
-    tri_key = tc(9)
+    ax, ay, az = tc(0), tc(1), tc(2)
+    bx, by, bz = tc(3), tc(4), tc(5)
+    cx, cy, cz = tc(6), tc(7), tc(8)
+    k = tc(9)
+    tri_key = tc(10)
 
-    pvx = dy * e2z - dz * e2y
-    pvy = dz * e2x - dx * e2z
-    pvz = dx * e2y - dy * e2x
-    det = e1x * pvx + e1y * pvy + e1z * pvz
+    det = dx * ax + dy * ay + dz * az
     inv_det = 1.0 / det
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-    qvx = tvy * e1z - tvz * e1y
-    qvy = tvz * e1x - tvx * e1z
-    qvz = tvx * e1y - tvy * e1x
-    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    u = (dx * bx + dy * by + dz * bz) * inv_det
+    v = (dx * cx + dy * cy + dz * cz) * inv_det
+    t = k * inv_det
 
     reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
@@ -217,46 +330,54 @@ def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref, sh_out, *,
     oz = t * dz
     dist_occ = jnp.sqrt(ox * ox + oy * oy + oz * oz)
     sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon) < dist_pt)
-    sh_out[0, 0] = jnp.max(sh.astype(jnp.int32), axis=0)
+    sh_out[0, 0] = jnp.maximum(sh_out[0, 0],
+                               jnp.max(sh.astype(jnp.int32), axis=0))
 
 
-def _sweep_call(kernel, tri_windows, rays_blocks, win_idx, win_block,
+def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
                 out_shapes, interpret: bool):
     wcap = win_idx.shape[0]
-    # Outputs are [wcap, 1, 128] with block (1, 1, 128): Mosaic requires
-    # the block's last two dims to divide (8, 128) or equal the array
-    # dims — a 2D (1, 128) block over [wcap, 128] fails that check.
+    nb1 = rays_blocks.shape[0]  # NB + 1 (guard)
+    win = tri_windows.shape[1]
+    kernel = functools.partial(kernel_fn, guard=nb1 - 1, win=win)
+    # Outputs are [NB+1, 1, 128] with block (1, 1, 128) indexed by the
+    # item's RAY BLOCK id: consecutive items of one block revisit the
+    # same output block, so the combine runs in VMEM and Mosaic writes
+    # each row back once.  (3-D because Mosaic requires the block's last
+    # two dims to divide (8, 128) or equal the array dims.)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(wcap,),
         in_specs=[
-            pl.BlockSpec((1, WIN, NCOMP),
-                         lambda i, win, blk: (win[i], 0, 0)),
+            pl.BlockSpec((1, win, NCOMP),
+                         lambda i, w, blk: (w[i], 0, 0)),
             pl.BlockSpec((1, 8, 128),
-                         lambda i, win, blk: (blk[i], 0, 0)),
+                         lambda i, w, blk: (blk[i], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 128), lambda i, win, blk: (i, 0, 0))
+            pl.BlockSpec((1, 1, 128),
+                         lambda i, w, blk: (blk[i], 0, 0))
             for _ in out_shapes
         ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((wcap, 1, 128), dt)
+        out_shape=[jax.ShapeDtypeStruct((nb1, 1, 128), dt)
                    for dt in out_shapes],
         interpret=interpret,
     )(win_idx, win_block, tri_windows, rays_blocks)
-    return [o.reshape(wcap, 128) for o in outs]
+    return [o.reshape(nb1, 128) for o in outs]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def primary_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
                   cfg: RenderConfig, interpret: bool = False):
-    """Per-item (min t [wcap, 128], winner sublane [wcap, 128] i32).
+    """Per-ray-block (min t [NB+1, 128], winner pair index [NB+1, 128]).
 
-    Winner global pair index = win_idx * 128 + sublane.  Dead items
-    (guard ray block: cell row -1) return t = _BIG.
+    Winner = global pair index into the sorted arrays (win * 128 +
+    sublane); 2^31-1 where no hit.  Blocks with no candidate windows
+    report t = _BIG.  Row NB is the guard block (discard).
     """
     return tuple(_sweep_call(
         functools.partial(_primary_kernel, cfg=cfg),
@@ -267,7 +388,7 @@ def primary_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def shadow_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
                  cfg: RenderConfig, interpret: bool = False):
-    """Per-item shadow flags [wcap, 128] int32."""
+    """Per-ray-block shadow flags [NB+1, 128] int32 (row NB = guard)."""
     (sh,) = _sweep_call(
         functools.partial(_shadow_kernel, cfg=cfg),
         tri_windows, rays_blocks, win_idx, win_block,

@@ -273,16 +273,11 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
             lo = grid.cell_offset[k1]
             hi = grid.cell_offset[k2] + grid.cell_count[k2]
             win_idx, win_blk, _ = pt.make_windows(lo, hi, wcap_p, NW)
-            t_w, lane_w = pt.primary_sweep(
+            # The kernel combines across windows in-place (v4): outputs
+            # are already per-ray-block min-t / winner pair index.
+            t_blk, p_blk = pt.primary_sweep(
                 tri_w, rays_b, win_idx, win_blk, cfg=cfg,
                 interpret=interpret)
-            t_blk = jax.ops.segment_min(t_w, win_blk,
-                                        num_segments=NBp + 1)
-            pair_w = win_idx[:, None] * pt.WIN + lane_w
-            cand = jnp.where(t_w == t_blk[win_blk], pair_w,
-                             jnp.int32(2**31 - 1))
-            p_blk = jax.ops.segment_min(cand, win_blk,
-                                        num_segments=NBp + 1)
             t_slabs.append(t_blk[:NBp].reshape(num_tiles, R))
             f_slabs.append(p_blk[:NBp].reshape(num_tiles, R))
         t_cell = jnp.stack(t_slabs, axis=1)      # [num_tiles, NS, R]
@@ -377,12 +372,19 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
     ok = done == 2
     face_id = jnp.where(ok, win, -2).astype(jnp.int32)
 
-    v = vertices[faces[jnp.clip(face_id, 0, None)]]      # [T, R, 3, 3]
-    e1 = normalize(v[..., 1, :] - v[..., 0, :], xp=jnp)
-    e2 = normalize(v[..., 2, :] - v[..., 0, :], xp=jnp)
-    nrm = normalize(cross(e1, e2, xp=jnp), xp=jnp)
+    # Geometric normals via a per-FACE table: the normal depends only on
+    # the face, so compute it once per face (F ~ 75k) instead of per
+    # pixel (1M), replacing a [H*W, 3, 3] two-level vertex gather +
+    # per-pixel normalize chain with one [H*W] row gather.  Same op
+    # sequence per face => bitwise-identical to the per-pixel form
+    # (trace_kernel.cu:232-253 semantics).
+    fv = vertices[faces]                                 # [F, 3, 3]
+    fe1 = normalize(fv[:, 1] - fv[:, 0], xp=jnp)
+    fe2 = normalize(fv[:, 2] - fv[:, 0], xp=jnp)
+    fnrm = normalize(cross(fe1, fe2, xp=jnp), xp=jnp)
     if cfg.quirks.abs_normal:
-        nrm = jnp.abs(nrm)
+        fnrm = jnp.abs(fnrm)
+    nrm = fnrm[jnp.clip(face_id, 0, None)]               # [T, R, 3]
     nrm = jnp.where(ok[..., None], nrm, jnp.float32(-1.0))
 
     t_out = jnp.where(ok, oldt, jnp.float32(-1.0))

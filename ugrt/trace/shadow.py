@@ -70,6 +70,17 @@ class ShadowWork(NamedTuple):
     overflow: jax.Array      # [] bool
 
 
+def _unpermute(values, perm):
+    """values[i] belongs to original index perm[i] -> original order.
+
+    perm is a permutation (the shadow sort's ray ids), so this is a
+    gather by the inverse permutation; computing the inverse needs a
+    scatter, which XLA lowers serially on TPU (~15 ms at 1M rays), so
+    instead sort (perm, values) by perm — the radix sort is ~1 ms.
+    """
+    return jax.lax.sort((perm, values), num_keys=1)[1]
+
+
 def packet_capacity(cfg: RenderConfig, num_rays: int) -> int:
     """Packets <= light cells + N/64: every cell adds at most one partial
     packet on top of the full 64-ray ones."""
@@ -232,16 +243,23 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         from ugrt.trace import pallas_tracer as pt
 
         assert R == 128, "pallas shadow backend uses 128-ray blocks"
-        tri_w = pt.pack_tri_windows(vertices, faces, light_grid, L)
+        # 256-wide triangle windows: shadow spans cover ~8.5 windows per
+        # ray block, so wider windows amortize the ~0.5 us per-item
+        # fixed cost (primary keeps 128: its spans fit one window).
+        SWIN = 256
+        tri_w = pt.pack_tri_windows_coeff(vertices, faces, light_grid, L,
+                                          win=SWIN)
         NW = tri_w.shape[0]
         if work_capacity is None:
             # A block's window cover is its span's windows; blocks inside
             # a ray-heavy cell each re-cover that cell's whole list, so
             # the total is data-dependent.  Measured on reference-scale
-            # scenes (scripts/measure_shadow_work.py): ~7-8.5 windows per
-            # block.  12x + the disjoint-span floor gives headroom; the
-            # overflow flag guards the rest.
-            work_capacity = 12 * NB + NW + 256
+            # scenes (scripts/measure_shadow_work.py): ~8.5 128-wide
+            # windows per block -> ~5 at 256.  6x + the disjoint-span
+            # floor gives headroom (the kernel skips dead items, so
+            # slack is cheap; SMEM at 2 x wcap x 4B is the binding
+            # constraint); the overflow flag guards the rest.
+            work_capacity = 6 * NB + NW + 256
         wcap = work_capacity
 
         scell_blk = scells.reshape(NB, R)
@@ -276,18 +294,17 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             live = last_real >= 0
             lo = jnp.where(live, lo, 0)
             hi = jnp.where(live, hi, 0)
-            win_idx, win_blk, ovf = pt.make_windows(lo, hi, wcap, NW)
+            win_idx, win_blk, ovf = pt.make_windows(lo, hi, wcap, NW,
+                                                    win=SWIN)
             overflow = overflow | ovf
-            sh_w = pt.shadow_sweep(tri_w, rays_b, win_idx, win_blk,
-                                   cfg=cfg, interpret=interpret)
-            shadow_blocks = jnp.maximum(
-                shadow_blocks,
-                jax.ops.segment_max(sh_w, win_blk,
-                                    num_segments=NB + 1)[:NB])
+            # v4 kernel: occlusion OR accumulates in-kernel per ray
+            # block; output is already [NB+1, R].
+            sh_blk = pt.shadow_sweep(tri_w, rays_b, win_idx, win_blk,
+                                     cfg=cfg, interpret=interpret)
+            shadow_blocks = jnp.maximum(shadow_blocks, sh_blk[:NB])
 
-        shadowed_sorted = shadow_blocks.reshape(n_pad)[:n]
-        shadowed = jnp.zeros((n,), dtype=jnp.int32).at[sorted_ray].max(
-            shadowed_sorted)
+        shadowed = _unpermute(shadow_blocks.reshape(n_pad)[:n],
+                              sorted_ray)
         shadowed = jnp.maximum(shadowed, shadow_heavy)
         return shadowed.reshape(H, W), overflow
 
@@ -411,8 +428,6 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             shadow_blocks,
             jax.ops.segment_max(sh, w_blk, num_segments=NB + 1)[:NB])
 
-    shadowed_sorted = shadow_blocks.reshape(n_pad)[:n]
-    shadowed = jnp.zeros((n,), dtype=jnp.int32).at[sorted_ray].max(
-        shadowed_sorted)
+    shadowed = _unpermute(shadow_blocks.reshape(n_pad)[:n], sorted_ray)
     shadowed = jnp.maximum(shadowed, shadow_heavy)
     return shadowed.reshape(H, W), overflow
