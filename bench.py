@@ -11,12 +11,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
 measured against a fixed nominal target of 1e8 rays/s/chip fwd+bwd.
 
+Timing method (VERDICT r3 #2): the headline is the CHAINED steady-state
+number — step N's vertex input carries a zero-valued data dependency on
+step N-1's gradient output, the N dispatches queue as one device-side
+chain, and a single device->host read at the end is the only fence.
+Under the axon tunnel a per-step fence costs a variable 30-70 ms host
+roundtrip (scripts/_timing.py), which at the 1e8 target (10.5 ms/frame)
+would be 7x the thing measured; chaining amortizes it to <2 ms/step.
+The per-step-fenced number is also reported in "detail" for comparison
+with rounds 1-3.
+
+Guards: a real-TPU pallas-vs-XLA parity check runs before timing
+(--skip-parity to disable) and the warmup step's overflow flag is
+asserted — a benchmark of clipped geometry fails instead of lying.
+
 Optional dev modes (default output shape unchanged):
   --scene foo.obj   bench a real OBJ scene instead of the procedural one
   --mesh N          run the step as sharded_train_step over an N-device
                     mesh (N=1 on the single chip measures sharding
                     overhead vs the unsharded step — VERDICT r2 #7)
-  --breakdown       add a per-stage ms table to the JSON line
+  --breakdown       add a per-stage ms table to the JSON line (chained
+                    per-stage timing, net of the fence)
 """
 
 from __future__ import annotations
@@ -30,6 +45,55 @@ import time
 NOMINAL_BASELINE = 1.0e8  # rays/s/chip fwd+bwd (self-set target)
 
 
+def _parity_gate(jnp, np, cam, RenderConfig):
+    """Real-chip pallas-vs-XLA check (VERDICT r3 #6): primary must be
+    bitwise equal; shadow (coefficient-form rounding) must match on all
+    but <=16 boundary pixels.  Seconds of compute at 256^2 / 8k tris."""
+    from ugrt.grid import build as gbuild
+    from ugrt.scene import procedural
+    from ugrt.trace import primary as tprim
+    from ugrt.trace import shadow as tshadow
+
+    cfg = dataclasses.replace(RenderConfig(), screen_width=256,
+                              screen_height=256, grid_x=32, grid_y=32)
+    sc = procedural.cathedral(num_faces_target=8000)
+    spec = cam.CameraSpec(eye=(3.0, 15.0, 5.0), look_at=(13.0, 13.0, 3.0),
+                          up=(0.0, 0.0, 1.0), near=0.1, far=100.0)
+    light = cam.CameraSpec(eye=(14.0, 13.0, 8.0), look_at=(14.0, 13.0, 0.0),
+                           up=(0.0, 1.0, 0.0), near=0.1, far=100.0)
+    cc = jnp.asarray(cam.camcoords_from_spec(spec, cfg.fovy_deg, 1.0))
+    lcc = jnp.asarray(cam.camcoords_from_spec(light, cfg.fovy_deg, 1.0))
+    cap = cfg.pair_capacity(sc.num_faces)
+    v = jnp.asarray(sc.vertices)
+    f = jnp.asarray(sc.faces)
+    import jax
+
+    @jax.jit
+    def both(v):
+        grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg,
+                                             capacity=cap)
+        rx = tprim.trace_primary(v, f, cc, grid, cfg)
+        rp = tprim.trace_primary(v, f, cc, grid, cfg, backend="pallas")
+        lgrid = gbuild.build_spherical_grid(v, f, lcc, cfg=cfg,
+                                            capacity=cap)
+        eye = cc[0:3]
+        sx, _ = tshadow.trace_shadow(v, f, lcc, lgrid, rx, eye, cfg)
+        sp, _ = tshadow.trace_shadow(v, f, lcc, lgrid, rx, eye, cfg,
+                                     backend="pallas")
+        return rx["face_id"], rp["face_id"], rx["t"], rp["t"], sx, sp
+
+    idx, idp, tx, tp, sx, sp = [np.asarray(o) for o in both(v)]
+    assert np.array_equal(idx, idp), (
+        f"parity gate: primary face ids diverge on chip "
+        f"({int((idx != idp).sum())} px)")
+    assert np.array_equal(tx, tp), "parity gate: primary t diverges on chip"
+    nsh = int((sx != sp).sum())
+    assert nsh <= 16, (
+        f"parity gate: shadow masks diverge on chip ({nsh} px; "
+        "coefficient-form rounding allows only boundary-pixel flips)")
+    return nsh
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default=None,
@@ -41,6 +105,8 @@ def main(argv=None):
                     help="include per-stage ms in the JSON output")
     ap.add_argument("--iters", type=int, default=0,
                     help="override timed iteration count")
+    ap.add_argument("--skip-parity", action="store_true",
+                    help="skip the real-TPU pallas/XLA parity preflight")
     args = ap.parse_args(argv)
 
     import os
@@ -70,9 +136,13 @@ def main(argv=None):
     else:
         cfg = RenderConfig()
         tri_target = 75000
-        iters = 5
+        iters = 20
     if args.iters:
         iters = args.iters
+
+    parity_mismatch = None
+    if backend == "tpu" and not args.skip_parity:
+        parity_mismatch = _parity_gate(jnp, np, cam, RenderConfig)
 
     if args.scene:
         from ugrt.scene import model as smodel
@@ -112,28 +182,52 @@ def main(argv=None):
             chunk_size=chunk, trace_backend=trace_backend)
 
         def step(v, m):
-            loss, gv, gm = sfn(v, m, faces, mat_index, cc, lcc, lp,
-                               target)
-            return loss, gv, gm
+            loss, gv, gm, overflow = sfn(v, m, faces, mat_index, cc, lcc,
+                                         lp, target)
+            return loss, gv, gm, overflow
     else:
         def step(v, m):
             out = render_grad.render_and_grad(
                 v, m, faces, mat_index, cc, lcc, lp, target, cfg=cfg,
                 capacity=cap, num_lights=1, use_spot=True,
                 chunk_size=chunk, trace_backend=trace_backend)
-            return out["loss"], out["grad_vertices"], out["grad_materials"]
+            return (out["loss"], out["grad_vertices"],
+                    out["grad_materials"], out["overflow"])
 
-    # Warmup / compile.  Sync by pulling the scalar loss to the host:
-    # under the axon-tunnel TPU platform block_until_ready can return
-    # before the dispatched computation finishes, so a device->host
-    # value read is the only trustworthy fence.
+    @jax.jit
+    def chain(v, gv):
+        # Zero-valued data dependency: step N's vertex input depends on
+        # step N-1's vertex gradient, forcing the dispatches into one
+        # device-side chain (values unchanged — no recompiles, no drift).
+        return v + gv * 0.0
+
+    # Warmup / compile.  Sync by pulling scalars to the host: under the
+    # axon-tunnel TPU platform block_until_ready can return before the
+    # dispatched computation finishes, so a device->host value read is
+    # the only trustworthy fence.
+    t0 = time.perf_counter()
     out = step(verts, mats)
     float(out[0])
+    compile_s = time.perf_counter() - t0
+    assert not bool(out[3]), (
+        "static capacity overflow on the bench scene — the result would "
+        "benchmark clipped geometry; raise RenderConfig capacities")
 
+    # Per-step-fenced timing (rounds 1-3 method, kept for comparison).
+    n_fenced = min(iters, 5)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n_fenced):
         out = step(verts, mats)
         float(out[0])
+    dt_fenced = (time.perf_counter() - t0) / n_fenced
+
+    # Chained steady-state timing (the headline).
+    out = step(verts, mats)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = chain(verts, out[1])
+        out = step(v, mats)
+    float(out[0])
     dt = (time.perf_counter() - t0) / iters
 
     result = {
@@ -141,45 +235,54 @@ def main(argv=None):
         "value": cfg.image_size / dt,
         "unit": f"rays/s/chip ({cfg.screen_width}x{cfg.screen_height}, "
                 f"{scene.num_faces} tris, {backend}"
-                + (f", mesh={args.mesh}" if args.mesh else "") + ")",
+                + (f", mesh={args.mesh}" if args.mesh else "")
+                + ", chained)",
         "vs_baseline": cfg.image_size / dt / NOMINAL_BASELINE,
+        "detail": {
+            "step_ms_chained": round(dt * 1000, 2),
+            "step_ms_fenced": round(dt_fenced * 1000, 2),
+            "compile_s": round(compile_s, 1),
+            "scene": scene_name,
+            "trace_backend": trace_backend,
+        },
     }
+    if parity_mismatch is not None:
+        result["detail"]["parity_shadow_px"] = parity_mismatch
 
     if args.breakdown:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from _timing import chain_timeit
+
         from ugrt.grid import build as gbuild
         from ugrt.trace import primary as tprim
         from ugrt.trace import shadow as tshadow
 
-        def t_ms(fn, *a, n=3):
-            o = fn(*a)
-            np.asarray(jax.device_get(
-                jnp.ravel(jax.tree_util.tree_leaves(o)[0])[:1]))
-            t0 = time.perf_counter()
-            for _ in range(n):
-                o = fn(*a)
-                np.asarray(jax.device_get(
-                    jnp.ravel(jax.tree_util.tree_leaves(o)[0])[:1]))
-            return (time.perf_counter() - t0) / n * 1000, o
-
+        nb = max(3, min(iters, 10))
         bp = jax.jit(lambda v: gbuild.build_perspective_grid(
             v, faces, cc, cfg=cfg, capacity=cap))
-        ms_g, grid = t_ms(bp, verts)
+        ms_g, grid = chain_timeit(None, bp, verts, n=nb)
         bs = jax.jit(lambda v: gbuild.build_spherical_grid(
             v, faces, lcc[0], cfg=cfg, capacity=cap))
-        ms_lg, lgrid = t_ms(bs, verts)
-        tp = jax.jit(lambda v, g: tprim.trace_primary(
-            v, faces, cc, g, cfg, chunk_size=chunk,
+        ms_lg, lgrid = chain_timeit(None, bs, verts, n=nb)
+        tp = jax.jit(lambda v: tprim.trace_primary(
+            v, faces, cc, grid, cfg, chunk_size=chunk,
             backend=trace_backend))
-        ms_p, prim = t_ms(tp, verts, grid)
-        ts = jax.jit(lambda v, g, p: tshadow.trace_shadow(
-            v, faces, lcc[0], g, p, cc[0:3], cfg, chunk_size=chunk,
-            backend=trace_backend)[0])
-        ms_s, _ = t_ms(ts, verts, lgrid, prim)
-        result["detail"] = {
+        ms_p, prim = chain_timeit(None, tp, verts, n=nb)
+        ts = jax.jit(lambda v: tshadow.trace_shadow(
+            v, faces, lcc[0], lgrid, prim, cc[0:3], cfg,
+            chunk_size=chunk, backend=trace_backend)[0])
+        ms_s, _ = chain_timeit(None, ts, verts, n=nb)
+        fwd = jax.jit(lambda v: render_grad.render_color(
+            v, mats, faces, mat_index, cc, lcc, lp, cfg=cfg,
+            capacity=cap, num_lights=1, use_spot=True,
+            chunk_size=chunk, trace_backend=trace_backend)[0])
+        ms_f, _ = chain_timeit(None, fwd, verts, n=nb)
+        result["detail"].update({
             "grid_ms": round(ms_g, 1), "light_grid_ms": round(ms_lg, 1),
             "primary_ms": round(ms_p, 1), "shadow_ms": round(ms_s, 1),
-            "step_ms": round(dt * 1000, 1), "scene": scene_name,
-        }
+            "forward_ms": round(ms_f, 1),
+        })
 
     print(json.dumps(result))
 

@@ -39,3 +39,39 @@ def timeit(name, fn, *args, n=5, **kw):
     print(f"{name:36s} {(time.perf_counter()-t0)/n*1000:9.2f} ms",
           flush=True)
     return out
+
+
+@jax.jit
+def _dep(arr, scalar_leaf):
+    """arr + 0 * (first element of leaf): a zero-valued data dependency
+    linking one dispatch's output to the next dispatch's input."""
+    s = jnp.ravel(scalar_leaf)[0].astype(arr.dtype) * 0
+    return arr + s
+
+
+def chain_timeit(name, fn, *args, n=20, arg_index=0, **kw):
+    """Steady-state ms/iter: enqueue n dependent steps, fence ONCE.
+
+    The per-step `sync` fence costs a variable 30-70 ms host roundtrip
+    under axon — larger than many stages being measured.  Here iteration
+    k's input args[arg_index] (must be a float/int array) gets a
+    zero-valued dependency on iteration k-1's first output leaf, so the
+    n dispatches form one device-side chain; the single final fence
+    amortizes the roundtrip to <4 ms/iter at n=20.  This is the honest
+    steady-state number (VERDICT r3 #2) — the reference's cuda-sync'd
+    cutil timers had a us-scale fence (frustum_tracer.h:47-55).
+    """
+    if not hasattr(fn, "lower"):
+        fn = jax.jit(fn)
+    out = sync(fn(*args, **kw))  # warmup/compile
+    args = list(args)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        args[arg_index] = _dep(args[arg_index], leaf)
+        out = fn(*args, **kw)
+    sync(out)
+    ms = (time.perf_counter() - t0) / n * 1000
+    if name:
+        print(f"{name:36s} {ms:9.2f} ms/iter (chained x{n})", flush=True)
+    return ms, out

@@ -42,8 +42,9 @@ def test_sharded_render_matches_single_device(small_cfg, cornell,
 
     render = dmesh.sharded_render(mesh8, cfg=cfg, capacity=cap,
                                   num_lights=1, use_spot=True)
-    sharded = render(verts, mats, faces, mat_index, cc, lcc, lp)
+    sharded, overflow = render(verts, mats, faces, mat_index, cc, lcc, lp)
 
+    assert not bool(overflow)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
 
@@ -72,9 +73,10 @@ def test_sharded_grads_match_single_device(tiny_cfg, cornell,
 
     step = dmesh.sharded_train_step(mesh8, cfg=cfg, capacity=cap,
                                     num_lights=1, use_spot=False)
-    loss8, gv8, gm8 = step(verts, mats, faces, mat_index, cc, lcc, lp,
-                           target)
+    loss8, gv8, gm8, ovf8 = step(verts, mats, faces, mat_index, cc, lcc,
+                                 lp, target)
 
+    assert not bool(ovf8)
     np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gv8), np.asarray(gv1),
                                rtol=1e-4, atol=1e-6)
@@ -97,6 +99,6 @@ def test_sharded_pallas_matches_sharded_xla(tiny_cfg, cornell,
     r_p = dmesh.sharded_render(mesh8, cfg=cfg, capacity=cap,
                                num_lights=1, use_spot=True,
                                trace_backend="pallas", interpret=True)
-    img_x = np.asarray(r_x(verts, mats, faces, mat_index, cc, lcc, lp))
-    img_p = np.asarray(r_p(verts, mats, faces, mat_index, cc, lcc, lp))
+    img_x = np.asarray(r_x(verts, mats, faces, mat_index, cc, lcc, lp)[0])
+    img_p = np.asarray(r_p(verts, mats, faces, mat_index, cc, lcc, lp)[0])
     np.testing.assert_array_equal(img_p, img_x)

@@ -42,13 +42,17 @@ def render_frame_device(vertices, faces, mat_index, materials,
                         camcoords, light_camcoords, light_position, *,
                         cfg: RenderConfig, capacity: int, num_lights: int,
                         use_spot: bool, chunk_size: int = 256,
-                        trace_backend: str = "xla"):
+                        trace_backend: str | None = None):
     """One fully-fused frame: returns dict with float RGB image [H,W,3],
     u8 image, shadow mask, and primary-hit buffers.
 
     light_camcoords: [num_lights, 64].  Shading uses the last light's
     camcoords when lights exist (reference behavior), else the camera's.
+    trace_backend None selects pallas on TPU, xla elsewhere.
     """
+    if trace_backend is None:
+        from ugrt.trace import default_trace_backend
+        trace_backend = default_trace_backend()
     grid = gbuild.build_perspective_grid(
         vertices, faces, camcoords, cfg=cfg, capacity=capacity,
         align=1)

@@ -82,6 +82,9 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
             if verbose:
                 print(f"resumed from step {latest}")
 
+    from ugrt.trace import default_trace_backend
+    trace_backend = default_trace_backend()
+
     if tcfg.use_mesh:
         mesh = dmesh.make_mesh()
         step_fns = {}
@@ -90,11 +93,11 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
             if "fn" not in step_fns:
                 step_fns["fn"] = dmesh.sharded_train_step(
                     mesh, cfg=cfg, capacity=cap, num_lights=1,
-                    use_spot=True)
-            loss, gv, gm = step_fns["fn"](
+                    use_spot=True, trace_backend=trace_backend)
+            loss, gv, gm, overflow = step_fns["fn"](
                 p["vertices"], p["materials"], faces, mat_index,
                 ccs[frame], lcc, lp, targets[frame])
-            return loss, dict(vertices=gv, materials=gm)
+            return loss, dict(vertices=gv, materials=gm), overflow
     else:
         # One plain inner function under ONE outer jit, with every device
         # array passed explicitly (no closure-captured jnp constants):
@@ -104,7 +107,8 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
         def _loss(v, m, f, mi, cc, lc, l, target):
             color, overflow = render_grad.render_color(
                 v, m, f, mi, cc, lc, l, cfg=cfg,
-                capacity=cap, num_lights=1, use_spot=True)
+                capacity=cap, num_lights=1, use_spot=True,
+                trace_backend=trace_backend)
             return jnp.mean((color - target) ** 2), overflow
 
         grad_fn = jax.jit(
@@ -114,27 +118,31 @@ def train(scene, camera_specs: Sequence[cam.CameraSpec],
             (loss, overflow), (gv, gm) = grad_fn(
                 p["vertices"], p["materials"], faces, mat_index,
                 ccs[frame], lcc, lp, targets[frame])
-            if bool(overflow):
-                raise RuntimeError(
-                    "static capacity overflow during training step: "
-                    "geometry was clipped and gradients are corrupt — "
-                    "raise RenderConfig.pair_capacity_factor / "
-                    "heavy_capacity / shadow work capacity")
-            return loss, dict(vertices=gv, materials=gm)
+            return loss, dict(vertices=gv, materials=gm), overflow
 
     log = []
     for step in range(start_step, tcfg.steps):
         frame = step % len(camera_specs)
-        loss, grads = grads_for(frame, params)
+        loss, grads, overflow = grads_for(frame, params)
         if not tcfg.optimize_vertices:
             grads["vertices"] = jnp.zeros_like(grads["vertices"])
         if not tcfg.optimize_materials:
             grads["materials"] = jnp.zeros_like(grads["materials"])
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        log.append(float(loss))
+        # ONE host pull for both scalars: the loss sync the loop already
+        # pays doubles as the overflow check (keeps dispatch async —
+        # checking overflow alone would add a serializing device fence).
+        loss_v, ovf_v = jax.device_get((loss, overflow))
+        if bool(ovf_v):
+            raise RuntimeError(
+                "static capacity overflow during training step: "
+                "geometry was clipped and gradients are corrupt — "
+                "raise RenderConfig.pair_capacity_factor / "
+                "heavy_capacity / shadow work capacity")
+        log.append(float(loss_v))
         if verbose and (step % 10 == 0 or step == tcfg.steps - 1):
-            print(f"step {step}: loss {float(loss):.6f}")
+            print(f"step {step}: loss {float(loss_v):.6f}")
         if (tcfg.checkpoint_dir
                 and (step + 1) % tcfg.checkpoint_every == 0):
             ckpt.save_checkpoint(tcfg.checkpoint_dir,

@@ -47,16 +47,26 @@ def matvec(mat_flat, vec4, xp=np):
     Matches mulMatrixVector_D (/root/reference/grid_kernel.cu:4-11):
     ``result[r] = sum_c mat[c*4+r] * vec[c]``.
     Supports batched ``vec4`` of shape [..., 4]; ``mat_flat`` is [16].
+    Written as broadcast multiply-adds, NOT ``vec4 @ m``: XLA lowers the
+    [N, 4] x [4, 4] matmul through the MXU with the contraction padded
+    4 -> 128 and the batch re-tiled, which measured ~15x slower than the
+    VPU elementwise form on v5e at N ~ 220k (scripts/profile_chain.py).
+    Summation order matches the reference's r-loop (c ascending).
     """
     m = xp.reshape(mat_flat, (4, 4))  # m[c, r]
-    return vec4 @ m  # [..., c] @ [c, r] -> [..., r]
+    return (vec4[..., 0:1] * m[0] + vec4[..., 1:2] * m[1]
+            + vec4[..., 2:3] * m[2] + vec4[..., 3:4] * m[3])
 
 
 def transform_point(mat_flat, p3, xp=np):
-    """Transform [...,3] points by a column-major flat matrix, w-divide."""
-    shape = p3.shape[:-1] + (1,)
-    p4 = xp.concatenate([p3, xp.ones(shape, dtype=p3.dtype)], axis=-1)
-    out = matvec(mat_flat, p4, xp=xp)
+    """Transform [...,3] points by a column-major flat matrix, w-divide.
+
+    The homogeneous w = 1 coordinate is folded in as ``+ m[3]`` instead
+    of concatenating a ones column (same f32 values: 1.0 * m[3] is
+    exact)."""
+    m = xp.reshape(mat_flat, (4, 4))  # m[c, r]
+    out = (p3[..., 0:1] * m[0] + p3[..., 1:2] * m[1]
+           + p3[..., 2:3] * m[2] + m[3])
     return out[..., :3] / out[..., 3:4]
 
 

@@ -70,16 +70,18 @@ def _strip_color(vertices, materials, faces, mat_index, camcoords,
 
     eye = camcoords[0:3]
     shadowed = jnp.zeros(raw["t"].shape, dtype=jnp.int32)
+    overflow = grid.overflow
     shade_cc = camcoords
     for li in range(num_lights):
         lcc = light_camcoords[li]
         lgrid = gbuild.build_spherical_grid(
             vsg, faces, lcc, cfg=cfg, capacity=capacity)
-        sh, _ = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
-                                     cfg, chunk_size=chunk_size,
-                                     backend=trace_backend,
-                                     interpret=interpret)
+        sh, sh_ovf = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
+                                          cfg, chunk_size=chunk_size,
+                                          backend=trace_backend,
+                                          interpret=interpret)
         shadowed = jnp.maximum(shadowed, sh)
+        overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc
     shadowed = jax.lax.stop_gradient(shadowed)
 
@@ -87,34 +89,41 @@ def _strip_color(vertices, materials, faces, mat_index, camcoords,
     shader = shaders.spotlight if use_spot else shaders.lambert
     color = shader(refined, shade_cc, light_position, eye, mat_index,
                    materials, cfg, xp=jnp)
-    return shaders.add_shadows_f32(color, shadowed, xp=jnp)
+    return shaders.add_shadows_f32(color, shadowed, xp=jnp), overflow
 
 
 def sharded_render(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
                    num_lights: int, use_spot: bool,
                    chunk_size: int = 256, trace_backend: str = "xla",
                    interpret: bool = False):
-    """Returns a jitted function rendering the full image across the mesh.
+    """Returns a jitted function rendering the full image across the mesh:
+    (image [H, W, 3] f32 sharded along W, overflow [] bool).
 
-    Output image [H, W, 3] float32 is sharded along W (tile columns).
-    """
+    overflow is the mesh-wide OR of every strip's capacity flags (pair
+    buffer / heavy list / shadow work) — sharded rendering must surface
+    clipped geometry exactly like the single-device path does."""
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     assert cfg.grid_x % ndev == 0, "grid_x must divide across devices"
     n_bx = cfg.grid_x // ndev
 
-    body = functools.partial(
+    strip = functools.partial(
         _strip_color, cfg=cfg, capacity=capacity, num_lights=num_lights,
         use_spot=use_spot, n_bx=n_bx, axis_name=axis,
         chunk_size=chunk_size, trace_backend=trace_backend,
         interpret=interpret)
+
+    def body(*args):
+        color, overflow = strip(*args)
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis) > 0
+        return color, overflow
 
     # check_vma=False: pallas_call outputs carry no varying-axes
     # metadata, which the jax 0.9 vma checker rejects under shard_map.
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P(None, axis, None), check_vma=False)
+        out_specs=(P(None, axis, None), P()), check_vma=False)
     return jax.jit(fn)
 
 
@@ -123,10 +132,12 @@ def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
                        chunk_size: int = 256, trace_backend: str = "xla",
                        interpret: bool = False):
     """Returns a jitted step: (verts, mats, ..., target) ->
-    (loss, grad_verts, grad_mats) with gradients all-reduced (psum) over
-    the mesh — BASELINE's gradient all-reduce over ICI.
+    (loss, grad_verts, grad_mats, overflow) with gradients all-reduced
+    (psum) over the mesh — BASELINE's gradient all-reduce over ICI.
 
     target: full [H, W, 3] image (sharded along W like the render).
+    overflow is the mesh-wide OR of capacity flags; callers must raise
+    on it like train.py does (clipped geometry => corrupt gradients).
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -136,7 +147,7 @@ def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
     def per_device(vertices, materials, faces, mat_index, camcoords,
                    light_camcoords, light_position, target_strip):
         def loss_fn(v, m):
-            color = _strip_color(
+            color, overflow = _strip_color(
                 v, m, faces, mat_index, camcoords, light_camcoords,
                 light_position, cfg=cfg, capacity=capacity,
                 num_lights=num_lights, use_spot=use_spot, n_bx=n_bx,
@@ -145,11 +156,12 @@ def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
             # Per-strip sum of squares; normalize by the global pixel
             # count so the psum'd loss equals the global MSE.
             return jnp.sum((color - target_strip) ** 2) / (
-                3.0 * cfg.image_size)
+                3.0 * cfg.image_size), overflow
 
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            vertices, materials)
+        (loss, overflow), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(vertices, materials)
         loss = jax.lax.psum(loss, axis)
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), axis) > 0
         # Explicit gradient all-reduce over the mesh (ICI) — BASELINE's
         # north-star collective.  (With check_vma=False the implicit
         # psum of unvaried-primal cotangents does not happen, so it must
@@ -158,10 +170,10 @@ def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
         gv, gm = grads
         gv = jax.lax.psum(gv, axis)
         gm = jax.lax.psum(gm, axis)
-        return loss, gv, gm
+        return loss, gv, gm, overflow
 
     fn = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P(None, axis, None)),
-        out_specs=(P(), P(), P()), check_vma=False)
+        out_specs=(P(), P(), P(), P()), check_vma=False)
     return jax.jit(fn)

@@ -41,12 +41,16 @@ Design (v4 — scalar-prefetch window scheduling + in-kernel combine):
     outputs plus XLA segment_min/segment_max scatters (the dominant
     overhead at 1024^2: ~100k-row scatters per pass) are gone.
 
-Operation order inside the block is IDENTICAL to the XLA path's
-moller_trumbore_t / shadow test (a*b - c*d cross products, inv_det
-multiply), just with transposed broadcasting — results are bitwise equal
-to the XLA backend, which the parity tests assert exactly.  The winner
+PRIMARY operation order inside the block is IDENTICAL to the XLA path's
+moller_trumbore_t (a*b - c*d cross products, inv_det multiply), just
+with transposed broadcasting — primary results are bitwise equal to the
+XLA backend, which the parity tests assert exactly.  The winner
 tie-break (strictly-smaller-t update over ascending windows, first-min
 sublane within a window) equals the XLA path's (t, pair-index) lex-min.
+The SHADOW sweep uses the coefficient form (pack_tri_windows_coeff),
+whose f32 rounding differs from the XLA direct form by ulps: a ray
+within an ulp of a u/v accept boundary can flip, so shadow parity is
+asserted as a small mismatch bound, not bitwise.
 
 The kernels are combinatorial-forward only; gradients flow through
 ugrt.trace.refine as usual.

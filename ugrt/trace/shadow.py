@@ -301,6 +301,11 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             # block; output is already [NB+1, R].
             sh_blk = pt.shadow_sweep(tri_w, rays_b, win_idx, win_blk,
                                      cfg=cfg, interpret=interpret)
+            # Under work-capacity overflow, truncated blocks' output rows
+            # are never initialized (uninitialized HBM, not merely
+            # missing occlusion) — force a defined value so callers that
+            # only warn on the flag still see a valid {0,1} mask.
+            sh_blk = jnp.where(ovf, 0, sh_blk)
             shadow_blocks = jnp.maximum(shadow_blocks, sh_blk[:NB])
 
         shadowed = _unpermute(shadow_blocks.reshape(n_pad)[:n],
