@@ -107,6 +107,10 @@ def main(argv=None):
                     help="override timed iteration count")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the real-TPU pallas/XLA parity preflight")
+    ap.add_argument("--pi-extent", action="store_true",
+                    help="use the reference's pi light-grid extent "
+                         "override instead of the measured per-frame "
+                         "extents (auto_light_extent)")
     args = ap.parse_args(argv)
 
     import os
@@ -139,6 +143,12 @@ def main(argv=None):
         iters = 20
     if args.iters:
         iters = args.iters
+    if not args.pi_extent:
+        # Windowed light grid (occlusion-equivalent coordinate change):
+        # the reference's pi-extent mapping concentrates all shadow
+        # rays into ~75 cells on this workload — see
+        # RenderConfig.light_grid_mode.
+        cfg = dataclasses.replace(cfg, light_grid_mode="windowed")
 
     parity_mismatch = None
     if backend == "tpu" and not args.skip_parity:

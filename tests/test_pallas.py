@@ -58,6 +58,52 @@ def test_aligned_grid_matches_unaligned_semantics(small_cfg, cornell,
                                       s8[o8[c]:o8[c] + n])
 
 
+def test_pallas_heavy_primary_matches_xla(small_cfg, cornell):
+    """The dedicated heavy kernels (pack_heavy_windows +
+    heavy_primary_sweep) replicate ugrt.trace.heavy's op order exactly:
+    results must be bitwise equal, exercised with a camera inside the
+    box so behind-the-eye walls land in the heavy list."""
+    cfg = small_cfg
+    spec = cam.CameraSpec(eye=(0.05, 0.03, 0.4), look_at=(0.1, 0.04, -1.0),
+                          up=(0.02, 1.0, 0.013), near=0.1, far=100.0)
+    cc = _cc(spec, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces) * 16
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap,
+                                         heavy_threshold=16)
+    assert int(grid.heavy_count) > 0
+    res_x = tprim.trace_primary(v, f, cc, grid, cfg)
+    res_p = tprim.trace_primary(v, f, cc, grid, cfg, backend="pallas",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(res_p["face_id"]),
+                                  np.asarray(res_x["face_id"]))
+    np.testing.assert_array_equal(np.asarray(res_p["t"]),
+                                  np.asarray(res_x["t"]))
+
+
+def test_pallas_heavy_shadow_matches_xla(small_cfg, cornell,
+                                         generic_camera, generic_light):
+    """heavy_shadow_sweep (pallas) == heavy_shadowed (XLA), bitwise."""
+    cfg = small_cfg
+    cc = _cc(generic_camera, cfg)
+    lcc = _cc(generic_light, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces) * 16
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap)
+    prim = tprim.trace_primary(v, f, cc, grid, cfg)
+    lg = gbuild.build_spherical_grid(v, f, lcc, cfg=cfg, capacity=cap,
+                                     heavy_threshold=4)
+    assert int(lg.heavy_count) > 0
+    sh_x, _ = tshadow.trace_shadow(v, f, lcc, lg, prim, cc[:3], cfg)
+    sh_p, _ = tshadow.trace_shadow(v, f, lcc, lg, prim, cc[:3], cfg,
+                                   backend="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(sh_x), np.asarray(sh_p))
+
+
 def test_pallas_shadow_matches_xla(small_cfg, cornell, generic_camera,
                                    generic_light):
     cfg = small_cfg

@@ -66,14 +66,25 @@ def render_frame_device(vertices, faces, mat_index, materials,
     overflow = grid.overflow
 
     shade_cc = camcoords
+    mode = cfg.light_grid_mode
+    # "windowed" spreads geometry over the full grid (pairs stay
+    # near the reference level); "extent" clamp-bloats edge cells
+    # and needs headroom.  Overflow-flag guarded either way.
+    lcap = 2 * capacity if mode == "extent" else capacity
     for li in range(num_lights):
         lcc = light_camcoords[li]
+        x_max = y_max = window = None
+        if mode == "extent":
+            x_max, y_max = tshadow.light_extents(primary, eye, lcc, cfg)
+        elif mode == "windowed":
+            window = tshadow.light_window(primary, eye, lcc, cfg)
         lgrid = gbuild.build_spherical_grid(
-            vertices, faces, lcc, cfg=cfg, capacity=capacity,
-            align=1)
+            vertices, faces, lcc, cfg=cfg, capacity=lcap,
+            align=1, x_max=x_max, y_max=y_max, window=window)
         sh, sh_ovf = tshadow.trace_shadow(
             vertices, faces, lcc, lgrid, primary, eye, cfg,
-            chunk_size=chunk_size, backend=trace_backend)
+            chunk_size=chunk_size, backend=trace_backend,
+            x_max=x_max, y_max=y_max, window=window)
         shadowed = jnp.maximum(shadowed, sh)
         overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc

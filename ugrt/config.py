@@ -67,6 +67,24 @@ class RenderConfig:
     # The spherical (light) grid angular extent; main.cu:186-187 computes a
     # max then overrides it with pi.
     angular_extent: float = math.pi
+    # Light-grid parameterization:
+    #   "reference" — the reference's symmetric angle mapping with the
+    #     pi extent override (main.cu:186-187) and the y forward-dot
+    #     typo.  Parity mode.
+    #   "extent" — same mapping, but with the per-frame measured max
+    #     angles the reference computes at main.cu:174-185 and then
+    #     discards.
+    #   "windowed" — affine remap of SIGNED per-axis angles over the
+    #     measured hit-point angle window (and the correct y dot).  A
+    #     pure coordinate change of the same conservative binning, so
+    #     occlusion results are equivalent — but the 128x128 grid then
+    #     actually resolves the lit region.  Measured on the flagship
+    #     interior scene: the reference mapping concentrates all 1M
+    #     shadow rays into ~75 cells (the typo'd y angle is CONSTANT
+    #     pi/2 for an axis-aligned light, so the grid degenerates to
+    #     one row; x angles occupy a narrow band offset from zero),
+    #     making the shadow sweep the dominant frame cost.
+    light_grid_mode: str = "reference"
 
     # Static pair-buffer capacity for grid build, as a multiple of the face
     # count.  Data-dependent totals are clamped to this (with an overflow

@@ -50,13 +50,26 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
     shadowed = jnp.zeros((H, W), dtype=jnp.int32)
     overflow = grid.overflow
     shade_cc = camcoords
+    mode = cfg.light_grid_mode
+    # "windowed" spreads geometry over the full grid (pairs stay
+    # near the reference level); "extent" clamp-bloats edge cells
+    # and needs headroom.  Overflow-flag guarded either way.
+    lcap = 2 * capacity if mode == "extent" else capacity
     for li in range(num_lights):
         lcc = light_camcoords[li]
+        x_max = y_max = window = None
+        if mode == "extent":
+            x_max, y_max = tshadow.light_extents(raw, eye, lcc, cfg)
+        elif mode == "windowed":
+            window = tshadow.light_window(raw, eye, lcc, cfg)
         lgrid = gbuild.build_spherical_grid(
-            vsg, faces, lcc, cfg=cfg, capacity=capacity)
+            vsg, faces, lcc, cfg=cfg, capacity=lcap,
+            x_max=x_max, y_max=y_max, window=window)
         sh, sh_ovf = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
                                          cfg, chunk_size=chunk_size,
-                                         backend=trace_backend)
+                                         backend=trace_backend,
+                                         x_max=x_max, y_max=y_max,
+                                         window=window)
         shadowed = jnp.maximum(shadowed, sh)
         overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc

@@ -72,14 +72,42 @@ def _strip_color(vertices, materials, faces, mat_index, camcoords,
     shadowed = jnp.zeros(raw["t"].shape, dtype=jnp.int32)
     overflow = grid.overflow
     shade_cc = camcoords
+    mode = cfg.light_grid_mode
+    # "windowed" spreads geometry over the full grid (pairs stay
+    # near the reference level); "extent" clamp-bloats edge cells
+    # and needs headroom.  Overflow-flag guarded either way.
+    lcap = 2 * capacity if mode == "extent" else capacity
     for li in range(num_lights):
         lcc = light_camcoords[li]
+        # Extents/windows must agree across devices; each strip derives
+        # them from its own rays and the mesh reduces (max/min).
+        x_max = y_max = window = None
+        if mode == "extent":
+            x_max, y_max = tshadow.light_extents(raw, eye, lcc, cfg)
+            x_max = jax.lax.pmax(x_max, axis_name)
+            y_max = jax.lax.pmax(y_max, axis_name)
+        elif mode == "windowed":
+            # Reduce the RAW angle bounds, then re-apply the margin so
+            # the result equals the single-device window of all rays.
+            x0, x1, y0, y1 = tshadow.light_window(raw, eye, lcc, cfg,
+                                                  margin=0.0)
+            x0 = jax.lax.pmin(x0, axis_name)
+            y0 = jax.lax.pmin(y0, axis_name)
+            x1 = jax.lax.pmax(x1, axis_name)
+            y1 = jax.lax.pmax(y1, axis_name)
+            m = jnp.float32(2e-3)
+            wx = jnp.maximum(x1 - x0, jnp.float32(1e-4))
+            wy = jnp.maximum(y1 - y0, jnp.float32(1e-4))
+            window = (x0 - wx * m, x1 + wx * m, y0 - wy * m, y1 + wy * m)
         lgrid = gbuild.build_spherical_grid(
-            vsg, faces, lcc, cfg=cfg, capacity=capacity)
+            vsg, faces, lcc, cfg=cfg, capacity=lcap,
+            x_max=x_max, y_max=y_max, window=window)
         sh, sh_ovf = tshadow.trace_shadow(vsg, faces, lcc, lgrid, raw, eye,
                                           cfg, chunk_size=chunk_size,
                                           backend=trace_backend,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          x_max=x_max, y_max=y_max,
+                                          window=window)
         shadowed = jnp.maximum(shadowed, sh)
         overflow = overflow | lgrid.overflow | sh_ovf
         shade_cc = lcc

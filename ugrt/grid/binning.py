@@ -203,6 +203,86 @@ def spherical_face_ranges(vertices, faces, camcoords, grid_x, grid_y,
                 zmin=zmin.astype(xp.float32), counts=counts)
 
 
+def signed_xy_coords(vec, camcoords, xp=np):
+    """Signed per-axis angles for the WINDOWED light-grid mode.
+
+    sx = sign(right.proj_x(d)) * x_angle, sy = sign(up.proj_y(d)) *
+    y_angle with the CORRECT forward dot (the windowed mode is a clean
+    coordinate system, not a parity surface — the reference's typo'd y
+    dot is constant pi/2 for axis-aligned lights, which collapses the
+    grid to one row; see RenderConfig.light_grid_mode).  Degenerate
+    directions (parallel to the projection axis) give NaN, which the
+    callers ignore (window reduce) or map to cell 0 (binning floor).
+    """
+    right, up, forward = mv_basis(camcoords)
+
+    up_dot = dot(vec, up[None])
+    tx = vec - up_dot[..., None] * up[None]
+    tx = tx / magnitude(tx, xp=xp)[..., None]
+    xa = xp.arccos(xp.clip(dot(tx, forward[None]), -1.0, 1.0))
+    sx = xp.where(dot(tx, right[None]) > 0, xa, -xa)
+
+    right_dot = dot(vec, right[None])
+    ty = vec - right_dot[..., None] * right[None]
+    ty = ty / magnitude(ty, xp=xp)[..., None]
+    ya = xp.arccos(xp.clip(dot(ty, forward[None]), -1.0, 1.0))
+    sy = xp.where(dot(ty, up[None]) > 0, ya, -ya)
+    return sx, sy
+
+
+def windowed_face_ranges(vertices, faces, camcoords, grid_x, grid_y,
+                         num_slabs, window, xp=np):
+    """Spherical binning over an affine angle window.
+
+    window = (x0, x1, y0, y1) signed-angle bounds (may be traced
+    scalars); cell coordinate = floor((s - lo) / (hi - lo) * grid).
+    Same conservative vertex-AABB binning as the reference's spherical
+    build, in window coordinates; out-of-window geometry clamps into
+    edge cells.
+    """
+    eye = camcoords[0:3]
+    v = vertices[faces]                      # [F, 3, 3]
+    d = v - eye[None, None, :]
+    radius = magnitude(d, xp=xp)
+    dn = d / radius[..., None]
+    sx, sy = signed_xy_coords(dn, camcoords, xp=xp)
+    x0, x1, y0, y1 = window
+    fx = (sx - x0) / (x1 - x0) * _f32(grid_x, xp)
+    fy = (sy - y0) / (y1 - y0) * _f32(grid_y, xp)
+    bx = _floor_int(fx, xp)
+    by = _floor_int(fy, xp)
+
+    gxmin = xp.clip(xp.min(bx, axis=1), 0, grid_x - 1)
+    gymin = xp.clip(xp.min(by, axis=1), 0, grid_y - 1)
+    gxmax = xp.clip(xp.max(bx, axis=1), 0, grid_x - 1)
+    gymax = xp.clip(xp.max(by, axis=1), 0, grid_y - 1)
+    zmin = xp.min(radius, axis=1)
+
+    counts = ((gxmax - gxmin + 1) * (gymax - gymin + 1)).astype(xp.int32)
+    return dict(gxmin=gxmin, gxmax=gxmax, gymin=gymin, gymax=gymax,
+                zmin=zmin.astype(xp.float32), counts=counts)
+
+
+def ray_light_cells_windowed(hit_points, camcoords, grid_x, grid_y,
+                             window, xp=np):
+    """Windowed-mode hit-point -> light-cell mapping (cf.
+    ray_light_cells); out-of-window rays get the sentinel (they test no
+    triangles — the window is computed to cover every hit point, so
+    only degenerate/NaN directions land there)."""
+    from ugrt.core.vecmath import normalize
+
+    eye = camcoords[0:3]
+    d = normalize(hit_points - eye[None], xp=xp)
+    sx, sy = signed_xy_coords(d, camcoords, xp=xp)
+    x0, x1, y0, y1 = window
+    bx = _floor_int((sx - x0) / (x1 - x0) * _f32(grid_x, xp), xp)
+    by = _floor_int((sy - y0) / (y1 - y0) * _f32(grid_y, xp), xp)
+    inside = ((bx >= 0) & (bx < grid_x) & (by >= 0) & (by < grid_y)
+              & ~xp.isnan(sx) & ~xp.isnan(sy))
+    cell = bx * grid_y + by
+    return xp.where(inside, cell, grid_x * grid_y).astype(xp.int32)
+
+
 def slab_bins(zmin, z_lo, z_hi, num_slabs: int, xp=np):
     """SlabKernel (/root/reference/grid_kernel.cu:334-352).
 

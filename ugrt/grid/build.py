@@ -264,19 +264,28 @@ def build_spherical_grid(vertices, faces, camcoords, *,
                          cfg: RenderConfig, capacity: int,
                          x_max: float | None = None,
                          y_max: float | None = None,
+                         window=None,
                          align: int = 1,
                          heavy_threshold: int | None = None) -> DeviceGrid:
     """Spherical light-centric grid (buildSphericalGrid); angular extent
-    defaults to pi per main.cu:186-187."""
+    defaults to pi per main.cu:186-187.  ``window`` (x0, x1, y0, y1)
+    selects the windowed affine parameterization instead
+    (RenderConfig.light_grid_mode \"windowed\")."""
     if heavy_threshold is None:
         heavy_threshold = cfg.heavy_threshold
     if cfg.num_slabs > 1:
         heavy_threshold = 0  # split needs per-slab modeling; disable
-    x_max = cfg.angular_extent if x_max is None else x_max
-    y_max = cfg.angular_extent if y_max is None else y_max
-    r = binning.spherical_face_ranges(
-        vertices, faces, camcoords, cfg.grid_x, cfg.grid_y, cfg.num_slabs,
-        x_max, y_max, cfg.quirks.y_forward_dot_typo, xp=jnp)
+    if window is not None:
+        r = binning.windowed_face_ranges(
+            vertices, faces, camcoords, cfg.grid_x, cfg.grid_y,
+            cfg.num_slabs, window, xp=jnp)
+    else:
+        x_max = cfg.angular_extent if x_max is None else x_max
+        y_max = cfg.angular_extent if y_max is None else y_max
+        r = binning.spherical_face_ranges(
+            vertices, faces, camcoords, cfg.grid_x, cfg.grid_y,
+            cfg.num_slabs, x_max, y_max, cfg.quirks.y_forward_dot_typo,
+            xp=jnp)
     if heavy_threshold > 0 and cfg.heavy_capacity > 0:
         r, hf, hc, hov, hr = _split_heavy(r, cfg, heavy_threshold,
                                           cfg.heavy_capacity)

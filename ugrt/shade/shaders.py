@@ -46,7 +46,14 @@ def shade_core(primary, shade_camcoords, light_position, primary_eye,
     idx = xp.where(tri >= 0, mat_index[xp.maximum(tri, 0)], -1)
     valid = (idx >= 0) & (idx < num_materials)
 
-    mats = materials[xp.maximum(idx, 0)]
+    if xp is not np:
+        # Same values as materials[...]; the custom VJP turns the
+        # material-gradient scatter (9.1 ms/step at 1024^2) into one
+        # one-hot MXU contraction.
+        from ugrt.diff.fastgrad import gather_rows
+        mats = gather_rows(materials, xp.maximum(idx, 0))
+    else:
+        mats = materials[xp.maximum(idx, 0)]
     ka = mats[..., 3:6] if cfg.quirks.ka_from_kd else mats[..., 0:3]
     kd = mats[..., 3:6]
 

@@ -338,6 +338,224 @@ def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
                                jnp.max(sh.astype(jnp.int32), axis=0))
 
 
+def pack_heavy_windows(co, win: int = WIN):
+    """[NWH * win, 16] heavy-face coefficient windows (tri-sublane,
+    comp-lane) for the dedicated heavy kernels.
+
+    Comps 0:3 a, 3:6 b, 6:9 c (see ugrt.trace.heavy: det = d.a,
+    u*det = d.b, v*det = d.c), 9 k (t*det), 10:14 the face's cell
+    footprint (gxmin, gxmax, gymin, gymax) as f32.  Dead slots zero a
+    (det = 0 rejects under the epsilon test) and get the empty footprint
+    (1, 0, 1, 0).  Unlike the per-grid tri windows this is a SMALL
+    (~heavy_capacity) table the kernels keep VMEM-resident across all
+    ray blocks — the XLA heavy sweep (ugrt.trace.heavy) materializes
+    [N, H] intermediates in HBM instead, which measured ~117 ms/frame
+    at 1024^2 x 781 heavy faces on v5e (scripts/profile_chain.py).
+    """
+    H = co.k.shape[0]
+    pad = -H % win
+    live = co.live
+
+    def p1(x):
+        x = jnp.where(live, x, 0.0)
+        return jnp.pad(x, (0, pad))[:, None]
+
+    def p3(m):
+        m = jnp.where(live[:, None], m, 0.0)
+        return jnp.pad(m, ((0, pad), (0, 0)))
+
+    r = co.ranges.astype(jnp.float32)
+    dead_r = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32), r.shape)
+    r = jnp.where(live[:, None], r, dead_r)
+    r = jnp.pad(r, ((0, pad), (0, 0)), constant_values=0.0)
+    # padding rows: empty footprint too
+    if pad:
+        idx = jnp.arange(H + pad) >= H
+        r = jnp.where(idx[:, None],
+                      jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32), r)
+
+    out = jnp.concatenate(
+        [p3(co.a), p3(co.b), p3(co.c), p1(co.k), r,
+         jnp.zeros((H + pad, NCOMP - 14), jnp.float32)], axis=1)
+    return out
+
+
+def _heavy_common(tri_ref, rays, w, cfg):
+    """One [win x 128] heavy window: det/u'/v'/t + footprint mask.
+
+    Operation order replicates ugrt.trace.heavy._det_uv / chunk bodies
+    EXACTLY (dx*m0 + dy*m1 + dz*m2 left-assoc; ud/det2 multiplied-out
+    accept forms) so results are bitwise equal to the XLA heavy path.
+    ``rays`` = (dx, dy, dz, gx, gy) pre-extracted [1, 128] rows (hoisted
+    out of the window loop by the kernels).
+    """
+    win = WIN
+    dx, dy, dz, gx, gy = rays
+
+    def tc(c):
+        return tri_ref[pl.ds(w * win, win), c][:, None]
+
+    det = dx * tc(0) + dy * tc(1) + dz * tc(2)
+    up = dx * tc(3) + dy * tc(4) + dz * tc(5)
+    vp = dx * tc(6) + dy * tc(7) + dz * tc(8)
+    k = tc(9)
+    det2 = det * det
+    ud = up * det
+    vd = vp * det
+    inv = 1.0 / det
+    t = k * inv
+    in_fp = ((gx >= tc(10)) & (gx <= tc(11))
+             & (gy >= tc(12)) & (gy <= tc(13)))
+    reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
+              | (ud < 0) | (ud > det2) | (vd < 0) | (ud + vd > det2)
+              | ~in_fp)
+    return t, reject
+
+
+MB = 8  # ray blocks per heavy grid step (amortizes ~4.5 us/step overhead)
+
+
+def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
+                          cfg: RenderConfig, nwh: int):
+    """Dense heavy sweep: every ray block tests every heavy window.
+
+    Accept rule replicates heavy_min_t (|t| quirk, t > 0); output is
+    (min t, winner ROW index into the packed heavy table) per ray, with
+    the same (t, ascending-row) lex-min as the windowed sweep — heavy
+    faces are packed ascending, so row order == face-id order.
+    Each grid step covers MB ray blocks (measured: per-step overhead is
+    ~4.5 us regardless of window count, so small steps are pure loss).
+    The mb loop is a static unroll (ray-row extracts hoisted per block);
+    the window loop is a lax loop over the LIVE window count (SMEM
+    scalar) — unrolling both overflows Mosaic's VMEM stack, and the
+    static capacity's dead windows are real work the table size alone
+    would force.
+    """
+    del nwh  # static bound only pads the table; live windows come in SMEM
+    for mb in range(MB):
+        rays = tuple(rays_ref[mb, c, :][None, :] for c in (0, 1, 2, 4, 5))
+
+        def w_body(w, acc, rays=rays):
+            t_acc, i_acc = acc
+            t, reject = _heavy_common(tri_ref, rays, w, cfg)
+            if cfg.quirks.abs_t:
+                t = jnp.abs(t)
+            t = jnp.where(reject | (t <= 0), jnp.float32(_BIG), t)
+            tmin = jnp.min(t, axis=0)[None, :]
+            lane = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            upd = tmin < t_acc
+            i_acc = jnp.where(upd, w * WIN + lane, i_acc)
+            t_acc = jnp.where(upd, tmin, t_acc)
+            return (t_acc, i_acc)
+
+        t_acc, i_acc = jax.lax.fori_loop(
+            0, nlive_ref[0], w_body,
+            (jnp.full((1, 128), jnp.float32(_BIG)),
+             jnp.full((1, 128), jnp.int32(_MAXI))))
+        t_out[mb] = t_acc
+        i_out[mb] = i_acc
+
+
+def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
+                         cfg: RenderConfig, nwh: int):
+    """Dense heavy occlusion sweep (heavy_shadowed semantics).
+
+    Ray rows: 0:3 dir, 3 light-to-point distance, 4 cell key (unused
+    here), 5 gx, 6 gy.
+    """
+    del nwh
+    for mb in range(MB):
+        rows = tuple(rays_ref[mb, c, :][None, :]
+                     for c in (0, 1, 2, 3, 5, 6))
+        dx, dy, dz, dist_pt = rows[0], rows[1], rows[2], rows[3]
+        rays = (dx, dy, dz, rows[4], rows[5])
+
+        def w_body(w, acc, rays=rays, dx=dx, dy=dy, dz=dz,
+                   dist_pt=dist_pt):
+            t, reject = _heavy_common(tri_ref, rays, w, cfg)
+            hit = (~reject) & (t != 0) & (t < jnp.float32(999999.9))
+            if not cfg.quirks.shadow_accept_negative_t:
+                hit = hit & (t > 0)
+            ox = t * dx
+            oy = t * dy
+            oz = t * dz
+            dist_occ = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+            sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon)
+                        < dist_pt)
+            return jnp.maximum(acc, jnp.max(sh.astype(jnp.int32),
+                                            axis=0)[None, :])
+
+        acc = jax.lax.fori_loop(0, nlive_ref[0], w_body,
+                                jnp.zeros((1, 128), jnp.int32))
+        sh_out[mb] = acc
+
+
+def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_blocks,
+                out_shapes, interpret: bool):
+    """Dense (ray block x live heavy windows) sweep: grid over groups of
+    MB ray blocks; the packed heavy table is a full-array block Mosaic
+    keeps in VMEM across the whole grid (one DMA total, vs one window
+    DMA per work item in the scheduled sweeps).  The inner window loop
+    runs only over ceil(heavy_count / WIN) live windows (SMEM scalar) —
+    the static table is sized by heavy_capacity, and sweeping its dead
+    windows measured ~30 ms/step at 1024^2 with 16 live faces in a
+    1024-capacity table."""
+    nb = rays_blocks.shape[0]
+    nb_pad = -(-nb // MB) * MB
+    if nb_pad != nb:
+        rays_blocks = jnp.pad(rays_blocks,
+                              ((0, nb_pad - nb), (0, 0), (0, 0)))
+    nwh = tri_windows.shape[0] // WIN
+    kernel = functools.partial(kernel_fn, nwh=nwh)
+    n_live = jnp.clip(
+        (heavy_count.astype(jnp.int32) + (WIN - 1)) // WIN, 0, nwh
+    ).reshape(1)
+    # Output blocks are (MB, 1, 128) on [nb_pad, 1, 128] arrays: the
+    # last two dims equal the array dims (Mosaic's divisibility rule).
+    grid_spec = pl.GridSpec(
+        grid=(nb_pad // MB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(tri_windows.shape, lambda i: (0, 0)),
+            pl.BlockSpec((MB, 8, 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((MB, 1, 128), lambda i: (i, 0, 0))
+            for _ in out_shapes
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb_pad, 1, 128), dt)
+                   for dt in out_shapes],
+        interpret=interpret,
+    )(n_live, tri_windows, rays_blocks)
+    return [o.reshape(nb_pad, 128)[:nb] for o in outs]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def heavy_primary_sweep(heavy_count, tri_windows, rays_blocks, *,
+                        cfg: RenderConfig, interpret: bool = False):
+    """Per-ray (min t [NB, 128], winner heavy ROW [NB, 128]) over the
+    packed heavy table; _BIG / int32-max where none."""
+    return tuple(_heavy_call(
+        functools.partial(_heavy_primary_kernel, cfg=cfg),
+        heavy_count, tri_windows, rays_blocks,
+        (jnp.float32, jnp.int32), interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def heavy_shadow_sweep(heavy_count, tri_windows, rays_blocks, *,
+                       cfg: RenderConfig, interpret: bool = False):
+    """Per-ray heavy occlusion flags [NB, 128] int32."""
+    (sh,) = _heavy_call(
+        functools.partial(_heavy_shadow_kernel, cfg=cfg),
+        heavy_count, tri_windows, rays_blocks, (jnp.int32,), interpret)
+    return sh
+
+
 def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
                 out_shapes, interpret: bool):
     wcap = win_idx.shape[0]

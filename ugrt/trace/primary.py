@@ -253,11 +253,22 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         tiles_local = jnp.arange(num_tiles, dtype=jnp.int32)
         gcell_base = (c0 + tiles_local * NS).reshape(NBp, 2)
         blocks2 = jnp.arange(NBp, dtype=jnp.int32)
-        zeros4 = jnp.zeros((NBp, 4, 2 * R), jnp.float32)
+        # Rows 4/5: the ray's own grid-cell coordinates (heavy-kernel
+        # footprint mask); every ray of a tile shares its tile's cell.
+        gx_t = (jnp.asarray(bx0, jnp.int32)
+                + tiles_local // tiles_y).astype(jnp.float32)
+        gy_t = (tiles_local % tiles_y).astype(jnp.float32)
+        gxrow = jnp.broadcast_to(
+            gx_t.reshape(NBp, 2)[..., None], (NBp, 2, R)
+        ).reshape(NBp, 1, 2 * R)
+        gyrow = jnp.broadcast_to(
+            gy_t.reshape(NBp, 2)[..., None], (NBp, 2, R)
+        ).reshape(NBp, 1, 2 * R)
+        zeros2 = jnp.zeros((NBp, 2, 2 * R), jnp.float32)
         guard = jnp.concatenate(
             [jnp.zeros((1, 3, 2 * R), jnp.float32),
-             jnp.full((1, 1, 2 * R), -1.0, jnp.float32),
-             jnp.zeros((1, 4, 2 * R), jnp.float32)], axis=1)
+             jnp.full((1, 3, 2 * R), -1.0, jnp.float32),
+             jnp.zeros((1, 2, 2 * R), jnp.float32)], axis=1)
 
         t_slabs = []
         f_slabs = []
@@ -266,7 +277,7 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
                 (gcell_base + s)[..., None].astype(jnp.float32),
                 (NBp, 2, R)).reshape(NBp, 1, 2 * R)
             rays_b = jnp.concatenate(
-                [dirs_T, keyrow, zeros4], axis=1)
+                [dirs_T, keyrow, gxrow, gyrow, zeros2], axis=1)
             rays_b = jnp.concatenate([rays_b, guard], axis=0)
             k1 = c0 + (2 * blocks2) * NS + s
             k2 = c0 + (2 * blocks2 + 1) * NS + s
@@ -322,17 +333,36 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
 
         co = theavy.heavy_coeffs(vertices, faces, grid.heavy_faces,
                                  grid.heavy_count, eye, grid.heavy_ranges)
-        # Each ray's own grid cell: tile t covers cell (bx0 + t//tiles_y,
-        # t % tiles_y) — the footprint mask needs it.
-        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-        gx_t = jnp.asarray(bx0, jnp.int32) + tile_ids // tiles_y
-        gy_t = tile_ids % tiles_y
-        gx_r = jnp.broadcast_to(gx_t[:, None], (num_tiles, R)).reshape(-1)
-        gy_r = jnp.broadcast_to(gy_t[:, None], (num_tiles, R)).reshape(-1)
-        t_h, f_h = theavy.heavy_min_t(co, rays_t.reshape(-1, 3),
-                                      gx_r, gy_r, cfg)
-        t_h = t_h.reshape(num_tiles, R)
-        f_h = f_h.reshape(num_tiles, R)
+        if backend == "pallas":
+            # Dense VMEM-resident heavy sweep (pallas_tracer): one grid
+            # step per 128-ray block, whole coefficient table in VMEM.
+            # Bitwise-equal to heavy_min_t (same op order).
+            from ugrt.trace import pallas_tracer as pt
+
+            tri_hw = pt.pack_heavy_windows(co)
+            t_hb, row_hb = pt.heavy_primary_sweep(
+                grid.heavy_count, tri_hw, rays_b, cfg=cfg,
+                interpret=interpret)
+            t_h = t_hb[:NBp].reshape(num_tiles, R)
+            rowc = jnp.clip(row_hb[:NBp].reshape(num_tiles, R), 0,
+                            co.face.shape[0] - 1)
+            f_h = jnp.where(t_h >= _BIG, jnp.int32(2**31 - 1),
+                            co.face[rowc])
+        else:
+            # Each ray's own grid cell: tile t covers cell
+            # (bx0 + t//tiles_y, t % tiles_y) — the footprint mask
+            # needs it.
+            tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+            gx_t = jnp.asarray(bx0, jnp.int32) + tile_ids // tiles_y
+            gy_t = tile_ids % tiles_y
+            gx_r = jnp.broadcast_to(gx_t[:, None],
+                                    (num_tiles, R)).reshape(-1)
+            gy_r = jnp.broadcast_to(gy_t[:, None],
+                                    (num_tiles, R)).reshape(-1)
+            t_h, f_h = theavy.heavy_min_t(co, rays_t.reshape(-1, 3),
+                                          gx_r, gy_r, cfg)
+            t_h = t_h.reshape(num_tiles, R)
+            f_h = f_h.reshape(num_tiles, R)
         # Heavy faces live in slab 0 (build asserts num_slabs == 1).
         t_c0 = t_cell[:, 0]
         f_c0 = f_cell[:, 0]

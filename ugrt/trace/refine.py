@@ -36,12 +36,16 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
     t is discarded and recomputed so gradients attach).  Misses keep the
     reference sentinels (t=-1, normal=-1).
     """
+    from ugrt.diff.fastgrad import gather_corners
+
     fid = jax.lax.stop_gradient(primary_raw["face_id"])
     dirs = jax.lax.stop_gradient(primary_raw["ray_dir"])
     eye = camcoords[0:3]
     hit = fid >= 0
 
-    v = vertices[faces[jnp.clip(fid, 0, None)]]     # [H, W, 3, 3]
+    # gather_corners == vertices[...] forward; its VJP replaces XLA's
+    # scatter-add transpose (43.6 ms/step at 1024^2) with sort+prefix.
+    v = gather_corners(vertices, faces[jnp.clip(fid, 0, None)])
     v0 = v[..., 0, :]
     e1 = v[..., 1, :] - v0
     e2 = v[..., 2, :] - v0

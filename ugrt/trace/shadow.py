@@ -160,12 +160,80 @@ def shadow_work_capacity(cfg: RenderConfig, num_rays: int,
             + cfg.cell_sentinel + 1)
 
 
+def light_extents(primary, primary_eye, light_camcoords,
+                  cfg: RenderConfig, margin: float = 1.001):
+    """Per-frame (x_max, y_max) light-grid extents from the hit points.
+
+    Replicates the computation the reference performs and then discards
+    (getRayGridMapping -> host max-reduce, main.cu:174-185, overridden
+    with pi at :186-187): the max x/y angle of any pixel's hit point as
+    seen from the light.  All pixels participate, including primary
+    misses with their faithfully-garbage point eye + (-1)*dir.  The
+    `margin` factor keeps the extremal ray strictly inside the grid
+    (angle == max would land exactly on the out-of-grid boundary);
+    results are clamped to pi (the reference override is the upper
+    bound) and NaN angles (degenerate directions) are ignored.
+    """
+    from ugrt.core.vecmath import normalize as _normalize
+
+    H, W = primary["t"].shape
+    n = H * W
+    L = light_camcoords[0:3]
+    pts = (primary_eye[None]
+           + primary["t"].reshape(n)[:, None]
+           * primary["ray_dir"].reshape(n, 3))
+    d = _normalize(pts - L[None], xp=jnp)
+    xa = binning.x_angle(d, light_camcoords, xp=jnp)
+    ya = binning.y_angle(d, light_camcoords,
+                         cfg.quirks.y_forward_dot_typo, xp=jnp)
+    f32 = jnp.float32
+    xm = jnp.max(jnp.where(jnp.isnan(xa), f32(0.0), xa)) * f32(margin)
+    ym = jnp.max(jnp.where(jnp.isnan(ya), f32(0.0), ya)) * f32(margin)
+    pi = f32(np.pi)
+    return (jnp.clip(xm, f32(1e-3), pi), jnp.clip(ym, f32(1e-3), pi))
+
+
+def light_window(primary, primary_eye, light_camcoords,
+                 cfg: RenderConfig, margin: float = 2e-3):
+    """(x0, x1, y0, y1): the signed-angle window of the hit points as
+    seen from the light, padded by ``margin`` of the width per side.
+
+    The WINDOWED light-grid parameterization maps this window across the
+    whole grid (RenderConfig.light_grid_mode): on the flagship interior
+    scene the reference mapping's usable band is ~0.3 rad of the pi
+    extent (and the typo'd y angle is constant), so the 128x128 grid
+    degenerates to ~75 cells; the window restores full 2-D resolution.
+    NaN angles (degenerate directions) are excluded from the reduce.
+    """
+    H, W = primary["t"].shape
+    n = H * W
+    pts = (primary_eye[None]
+           + primary["t"].reshape(n)[:, None]
+           * primary["ray_dir"].reshape(n, 3))
+    d = normalize(pts - light_camcoords[0:3][None], xp=jnp)
+    sx, sy = binning.signed_xy_coords(d, light_camcoords, xp=jnp)
+    f32 = jnp.float32
+    big = f32(4.0)
+
+    def lohi(s):
+        ok = ~jnp.isnan(s)
+        lo = jnp.min(jnp.where(ok, s, big))
+        hi = jnp.max(jnp.where(ok, s, -big))
+        w = jnp.maximum(hi - lo, f32(1e-4))
+        return lo - w * f32(margin), hi + w * f32(margin)
+
+    x0, x1 = lohi(sx)
+    y0, y1 = lohi(sy)
+    return x0, x1, y0, y1
+
+
 def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                  primary, primary_eye, cfg: RenderConfig, *,
                  chunk_size: int = 256,
                  work_capacity: int | None = None,
                  backend: str = "xla", interpret: bool = False,
-                 block_rays: int = 128):
+                 block_rays: int = 128,
+                 x_max=None, y_max=None, window=None):
     """Per-pixel shadow flags [H, W] int32 (mod_light_rckernel semantics).
 
     Every pixel participates — including primary misses, whose 'hit point'
@@ -177,6 +245,11 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     — every ray is cell-masked against exactly its own cell's triangles;
     the reference's 64-ray packets (MAX_RAYS_PER_BLOCK) remain available
     via build_packets.
+
+    x_max/y_max override the angular extent of the ray->cell mapping
+    (may be traced scalars from light_extents); ``window`` selects the
+    windowed parameterization (light_window).  Either MUST match what
+    light_grid was built with or cell keys disagree.
     """
     H, W = primary["t"].shape
     n = H * W
@@ -185,21 +258,34 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     B = cfg.tri_batch
     NS = cfg.num_slabs
     sentinel = cfg.cell_sentinel
+    tight_extent = x_max is not None or window is not None
+    if x_max is None:
+        x_max = cfg.angular_extent
+    if y_max is None:
+        y_max = cfg.angular_extent
 
     t = primary["t"].reshape(n)
     dirs = primary["ray_dir"].reshape(n, 3)
     pts = primary_eye[None] + t[:, None] * dirs              # [N, 3]
 
-    cells = binning.ray_light_cells(
-        pts, light_camcoords, cfg.grid_x, cfg.grid_y,
-        cfg.angular_extent, cfg.angular_extent,
-        cfg.quirks.y_forward_dot_typo, xp=jnp).reshape(n)
+    if window is not None:
+        cells = binning.ray_light_cells_windowed(
+            pts, light_camcoords, cfg.grid_x, cfg.grid_y, window,
+            xp=jnp).reshape(n)
+    else:
+        cells = binning.ray_light_cells(
+            pts, light_camcoords, cfg.grid_x, cfg.grid_y,
+            x_max, y_max,
+            cfg.quirks.y_forward_dot_typo, xp=jnp).reshape(n)
 
     # Heavy-list occlusion (two-level grid): dense sweep over the few
-    # global faces, in original ray order.  Sentinel-cell rays are
-    # excluded — they test no triangles (SURVEY.md §3.5 divergence note).
+    # global faces.  Sentinel-cell rays are excluded — they test no
+    # triangles (SURVEY.md §3.5 divergence note).  The pallas backend
+    # runs this as a VMEM-resident kernel over the sorted blocks below;
+    # the XLA path sweeps in original ray order here.
     shadow_heavy = jnp.zeros((n,), dtype=jnp.int32)
-    if light_grid.heavy_faces.shape[0] > 0:
+    use_heavy = light_grid.heavy_faces.shape[0] > 0
+    if use_heavy and backend != "pallas":
         from ugrt.trace import heavy as theavy
 
         delta0 = pts - L[None]
@@ -255,11 +341,14 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             # a ray-heavy cell each re-cover that cell's whole list, so
             # the total is data-dependent.  Measured on reference-scale
             # scenes (scripts/measure_shadow_work.py): ~8.5 128-wide
-            # windows per block -> ~5 at 256.  6x + the disjoint-span
-            # floor gives headroom (the kernel skips dead items, so
-            # slack is cheap; SMEM at 2 x wcap x 4B is the binding
-            # constraint); the overflow flag guards the rest.
-            work_capacity = 6 * NB + NW + 256
+            # windows per block -> ~5 at 256 under the pi extent; with
+            # measured extents (x_max given) rays and triangles spread
+            # over many more cells and the cover drops to ~1.2/block, so
+            # the bound tightens 6x -> 3x — dead capacity items are NOT
+            # free (each is a skipped-but-scheduled grid step; ~40k of
+            # them measured ~15 ms).  The overflow flag guards both.
+            factor = 3 if tight_extent else 6
+            work_capacity = factor * NB + NW + 256
         wcap = work_capacity
 
         scell_blk = scells.reshape(NB, R)
@@ -270,21 +359,27 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         rows = jnp.concatenate(
             [sh_dirs, dist_pt[:, None]], axis=1)          # [n_pad, 4]
         rows_T = jnp.swapaxes(rows.reshape(NB, R, 4), 1, 2)
+        # Rows 5/6: the ray's light-cell coordinates for the heavy
+        # kernel's footprint mask; sentinel cells give gx == grid_x,
+        # outside every footprint (the sentinel exclusion).
+        gxrow = (scell_blk // cfg.grid_y).astype(jnp.float32)[:, None, :]
+        gyrow = (scell_blk % cfg.grid_y).astype(jnp.float32)[:, None, :]
         guard = jnp.concatenate(
             [jnp.zeros((1, 4, R), jnp.float32),
-             jnp.full((1, 1, R), -1.0, jnp.float32),
-             jnp.zeros((1, 3, R), jnp.float32)], axis=1)
+             jnp.full((1, 3, R), -1.0, jnp.float32),
+             jnp.zeros((1, 1, R), jnp.float32)], axis=1)
 
         shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
         overflow = jnp.asarray(False)
+        rays_b = None
         for slab in range(NS):
             keyrow = jnp.where(
                 scell_blk < sentinel,
                 (scell_blk * NS + slab).astype(jnp.float32),
                 -1.0)[:, None, :]                         # [NB, 1, R]
             rays_b = jnp.concatenate(
-                [rows_T, keyrow, jnp.zeros((NB, 3, R), jnp.float32)],
-                axis=1)
+                [rows_T, keyrow, gxrow, gyrow,
+                 jnp.zeros((NB, 1, R), jnp.float32)], axis=1)
             rays_b = jnp.concatenate([rays_b, guard], axis=0)
 
             k1 = jnp.clip(first_cell, 0, sentinel - 1) * NS + slab
@@ -307,6 +402,20 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             # only warn on the flag still see a valid {0,1} mask.
             sh_blk = jnp.where(ovf, 0, sh_blk)
             shadow_blocks = jnp.maximum(shadow_blocks, sh_blk[:NB])
+
+        if use_heavy:
+            # VMEM-resident heavy occlusion over the sorted blocks
+            # (bitwise-equal to heavy_shadowed — same op order).
+            from ugrt.trace import heavy as theavy
+
+            co = theavy.heavy_coeffs(
+                vertices, faces, light_grid.heavy_faces,
+                light_grid.heavy_count, L, light_grid.heavy_ranges)
+            tri_hw = pt.pack_heavy_windows(co)
+            sh_hb = pt.heavy_shadow_sweep(light_grid.heavy_count, tri_hw,
+                                          rays_b, cfg=cfg,
+                                          interpret=interpret)
+            shadow_blocks = jnp.maximum(shadow_blocks, sh_hb[:NB])
 
         shadowed = _unpermute(shadow_blocks.reshape(n_pad)[:n],
                               sorted_ray)
