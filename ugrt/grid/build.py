@@ -152,13 +152,22 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
     face_c = segment_ids_from_starts(offsets, capacity)
     valid = p < total
 
-    k = p - offsets[face_c]
-    sy = size_y[face_c]
+    # Expansion gathers are [capacity]-wide and show up at ~3.5 ms each
+    # at flagship sizes (profiler trace), so gather ONE packed per-face
+    # row (offset, size_y, base) instead of 5 separate fields.
+    # base = key(gxmin, gymin, gz); key(i, j) = base + (i*grid_y + j)*NS.
+    base = (((ranges["gxmin"] * cfg.grid_y + ranges["gymin"])
+             * cfg.num_slabs) + gz).astype(jnp.int32)
+    per_face = jnp.stack(
+        [offsets.astype(jnp.int32), size_y, base], axis=1)   # [F, 3]
+    g = per_face[face_c]                                     # [cap, 3]
+
+    k = p - g[:, 0]
+    sy = g[:, 1]
     i = k // sy
     j = k - i * sy
-    key = (((ranges["gxmin"][face_c] + i) * cfg.grid_y
-            + (ranges["gymin"][face_c] + j)) * cfg.num_slabs
-           + gz[face_c]).astype(jnp.int32)
+    key = (g[:, 2]
+           + (i * cfg.grid_y + j) * cfg.num_slabs).astype(jnp.int32)
 
     key = jnp.where(valid, key, sentinel)
     val = jnp.where(valid, face_c, -1)
@@ -273,6 +282,10 @@ def build_spherical_grid(vertices, faces, camcoords, *,
     (RenderConfig.light_grid_mode \"windowed\")."""
     if heavy_threshold is None:
         heavy_threshold = cfg.heavy_threshold
+        # (Windowed mode keeps the same threshold: raising it to shrink
+        # the heavy list was measured to bloat the pair buffer faster
+        # than it removes heavy windows — 256 -> 2048 costs +394k pairs
+        # to drop 2 of 5 windows on the flagship scene.)
     if cfg.num_slabs > 1:
         heavy_threshold = 0  # split needs per-slab modeling; disable
     if window is not None:

@@ -86,8 +86,11 @@ def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin,
     Components 0:3 tvec = origin - v0, 3:6 e1, 6:9 e2 — the staging of
     trace_kernel.cu:149-175 (origin = eye) / light_kernel.cu:144-146
     (origin = light); component 9 = the pair's cell key as f32 (exact
-    below 2^24).  Padding pairs (face -1) are zeroed so the determinant
-    test rejects them regardless of their key.
+    below 2^24); component 10 = the pair's FACE id as f32, so the
+    primary kernel can emit the winner face directly (the post-hoc
+    sorted_faces[winner_pair] gather costs 7.5 ms/frame at 1024^2).
+    Padding pairs (face -1) are zeroed so the determinant test rejects
+    them regardless of their key.
     """
     cap = grid.sorted_faces.shape[0]
     fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
@@ -99,8 +102,10 @@ def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin,
     data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap, 9]
     data = jnp.where((grid.sorted_faces >= 0)[:, None], data, 0.0)
     key = grid.sorted_keys.astype(jnp.float32)[:, None]
+    face = grid.sorted_faces.astype(jnp.float32)[:, None]
     out = jnp.concatenate(
-        [data, key, jnp.zeros((cap, NCOMP - 10), jnp.float32)], axis=1)
+        [data, key, face, jnp.zeros((cap, NCOMP - 11), jnp.float32)],
+        axis=1)
     pad = -cap % win
     if pad:
         out = jnp.pad(out, ((0, pad), (0, 0)))
@@ -255,16 +260,19 @@ def _primary_body(win_ref, tri_ref, rays_ref, t_out, i_out, i,
               | (tri_key != ray_cell))
     t = jnp.where(reject, jnp.float32(_BIG), t)      # [128 tri, 128 ray]
     tmin = jnp.min(t, axis=0)
-    lane = jnp.argmin(t, axis=0).astype(jnp.int32)   # first-min sublane
-    pair = win_ref[i] * win + lane
+    # Winner FACE id emitted directly (component 10; the post-hoc
+    # sorted_faces[pair] gather costs 7.5 ms/frame at 1024^2): min face
+    # among exact-t ties in this window, strict-< across ascending
+    # windows — pairs sort (cell, face)-ascending, so this equals the
+    # XLA path's min-pair-index lex-min and the reference's strict-<
+    # scan (trace_kernel.cu:196-204).
+    del win_ref, i
+    fcand = jnp.where(t == tmin[None, :], tc(10), jnp.float32(_BIG))
+    fmin = jnp.min(fcand, axis=0)
 
-    # Strict-< update over ascending windows == (t, pair) lex-min: a
-    # later window can only tie with a LARGER pair index, so ties keep
-    # the earlier winner exactly like the XLA path's segment lex-min
-    # (and the reference's strict-< scan, trace_kernel.cu:196-204).
     cur_t = t_out[0, 0]
     upd = tmin < cur_t
-    i_out[0, 0] = jnp.where(upd, pair, i_out[0, 0])
+    i_out[0, 0] = jnp.where(upd, fmin.astype(jnp.int32), i_out[0, 0])
     t_out[0, 0] = jnp.where(upd, tmin, cur_t)
 
 
@@ -339,10 +347,10 @@ def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
 
 
 def pack_heavy_windows(co, win: int = WIN):
-    """[NWH * win, 16] heavy-face coefficient windows (tri-sublane,
-    comp-lane) for the dedicated heavy kernels.
+    """[16, NWH * win] heavy-face coefficient windows (comp-SUBLANE,
+    tri-LANE) for the dedicated heavy kernels.
 
-    Comps 0:3 a, 3:6 b, 6:9 c (see ugrt.trace.heavy: det = d.a,
+    Rows 0:3 a, 3:6 b, 6:9 c (see ugrt.trace.heavy: det = d.a,
     u*det = d.b, v*det = d.c), 9 k (t*det), 10:14 the face's cell
     footprint (gxmin, gxmax, gymin, gymax) as f32.  Dead slots zero a
     (det = 0 rejects under the epsilon test) and get the empty footprint
@@ -351,6 +359,8 @@ def pack_heavy_windows(co, win: int = WIN):
     ray blocks — the XLA heavy sweep (ugrt.trace.heavy) materializes
     [N, H] intermediates in HBM instead, which measured ~117 ms/frame
     at 1024^2 x 781 heavy faces on v5e (scripts/profile_chain.py).
+    The comp-row layout makes every per-window component access a cheap
+    row broadcast in the [ray-sublane x tri-lane] kernel orientation.
     """
     H = co.k.shape[0]
     pad = -H % win
@@ -375,26 +385,30 @@ def pack_heavy_windows(co, win: int = WIN):
         r = jnp.where(idx[:, None],
                       jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32), r)
 
+    face = jnp.pad(
+        jnp.where(live, co.face, -1).astype(jnp.float32), (0, pad),
+        constant_values=-1.0)[:, None]  # row 14: face id (winner emit)
     out = jnp.concatenate(
-        [p3(co.a), p3(co.b), p3(co.c), p1(co.k), r,
-         jnp.zeros((H + pad, NCOMP - 14), jnp.float32)], axis=1)
-    return out
+        [p3(co.a), p3(co.b), p3(co.c), p1(co.k), r, face,
+         jnp.zeros((H + pad, NCOMP - 15), jnp.float32)], axis=1)
+    return out.T
 
 
 def _heavy_common(tri_ref, rays, w, cfg):
-    """One [win x 128] heavy window: det/u'/v'/t + footprint mask.
+    """One [128 rays x win tris] heavy window: det/u'/v'/t + footprint.
 
+    Orientation: rays on SUBLANES ([128, 1] columns, extracted once per
+    ray block by the kernels), triangle components on LANES (tri_ref
+    rows -> [1, win] broadcasts — cheap, no per-window lane extracts).
     Operation order replicates ugrt.trace.heavy._det_uv / chunk bodies
     EXACTLY (dx*m0 + dy*m1 + dz*m2 left-assoc; ud/det2 multiplied-out
     accept forms) so results are bitwise equal to the XLA heavy path.
-    ``rays`` = (dx, dy, dz, gx, gy) pre-extracted [1, 128] rows (hoisted
-    out of the window loop by the kernels).
     """
     win = WIN
     dx, dy, dz, gx, gy = rays
 
     def tc(c):
-        return tri_ref[pl.ds(w * win, win), c][:, None]
+        return tri_ref[c, pl.ds(w * win, win)][None, :]
 
     det = dx * tc(0) + dy * tc(1) + dz * tc(2)
     up = dx * tc(3) + dy * tc(4) + dz * tc(5)
@@ -421,9 +435,9 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
     """Dense heavy sweep: every ray block tests every heavy window.
 
     Accept rule replicates heavy_min_t (|t| quirk, t > 0); output is
-    (min t, winner ROW index into the packed heavy table) per ray, with
-    the same (t, ascending-row) lex-min as the windowed sweep — heavy
-    faces are packed ascending, so row order == face-id order.
+    (min t, winner FACE id from table row 14) per ray — min face among
+    exact-t ties per window, strict-< across windows; heavy faces are
+    packed ascending, so this equals heavy_min_t's lex-min.
     Each grid step covers MB ray blocks (measured: per-step overhead is
     ~4.5 us regardless of window count, so small steps are pure loss).
     The mb loop is a static unroll (ray-row extracts hoisted per block);
@@ -434,7 +448,9 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
     """
     del nwh  # static bound only pads the table; live windows come in SMEM
     for mb in range(MB):
-        rays = tuple(rays_ref[mb, c, :][None, :] for c in (0, 1, 2, 4, 5))
+        # Ray components as [128, 1] columns: one lane-extract each per
+        # ray block, amortized over all windows.
+        rays = tuple(rays_ref[mb, :, c][:, None] for c in (0, 1, 2, 4, 5))
 
         def w_body(w, acc, rays=rays):
             t_acc, i_acc = acc
@@ -442,17 +458,19 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
             if cfg.quirks.abs_t:
                 t = jnp.abs(t)
             t = jnp.where(reject | (t <= 0), jnp.float32(_BIG), t)
-            tmin = jnp.min(t, axis=0)[None, :]
-            lane = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            tmin = jnp.min(t, axis=1)[:, None]
+            face_row = tri_ref[14, pl.ds(w * WIN, WIN)][None, :]
+            fcand = jnp.where(t == tmin, face_row, jnp.float32(_BIG))
+            fmin = jnp.min(fcand, axis=1)[:, None]
             upd = tmin < t_acc
-            i_acc = jnp.where(upd, w * WIN + lane, i_acc)
+            i_acc = jnp.where(upd, fmin.astype(jnp.int32), i_acc)
             t_acc = jnp.where(upd, tmin, t_acc)
             return (t_acc, i_acc)
 
         t_acc, i_acc = jax.lax.fori_loop(
             0, nlive_ref[0], w_body,
-            (jnp.full((1, 128), jnp.float32(_BIG)),
-             jnp.full((1, 128), jnp.int32(_MAXI))))
+            (jnp.full((128, 1), jnp.float32(_BIG)),
+             jnp.full((128, 1), jnp.int32(_MAXI))))
         t_out[mb] = t_acc
         i_out[mb] = i_acc
 
@@ -466,7 +484,7 @@ def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
     """
     del nwh
     for mb in range(MB):
-        rows = tuple(rays_ref[mb, c, :][None, :]
+        rows = tuple(rays_ref[mb, :, c][:, None]
                      for c in (0, 1, 2, 3, 5, 6))
         dx, dy, dz, dist_pt = rows[0], rows[1], rows[2], rows[3]
         rays = (dx, dy, dz, rows[4], rows[5])
@@ -484,10 +502,10 @@ def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
             sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon)
                         < dist_pt)
             return jnp.maximum(acc, jnp.max(sh.astype(jnp.int32),
-                                            axis=0)[None, :])
+                                            axis=1)[:, None])
 
         acc = jax.lax.fori_loop(0, nlive_ref[0], w_body,
-                                jnp.zeros((1, 128), jnp.int32))
+                                jnp.zeros((128, 1), jnp.int32))
         sh_out[mb] = acc
 
 
@@ -506,32 +524,36 @@ def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_blocks,
     if nb_pad != nb:
         rays_blocks = jnp.pad(rays_blocks,
                               ((0, nb_pad - nb), (0, 0), (0, 0)))
-    nwh = tri_windows.shape[0] // WIN
+    # Ray-sublane orientation: [nb, 128 rays, 8 comps] (one XLA
+    # transpose outside the kernel; inside, components are [128, 1]
+    # lane-extracts once per block).
+    rays_t = jnp.swapaxes(rays_blocks, 1, 2)
+    nwh = tri_windows.shape[1] // WIN
     kernel = functools.partial(kernel_fn, nwh=nwh)
     n_live = jnp.clip(
         (heavy_count.astype(jnp.int32) + (WIN - 1)) // WIN, 0, nwh
     ).reshape(1)
-    # Output blocks are (MB, 1, 128) on [nb_pad, 1, 128] arrays: the
-    # last two dims equal the array dims (Mosaic's divisibility rule).
+    # Output blocks are (MB, 128, 1) on [nb_pad, 128, 1] arrays: the
+    # last dim equals the array dim (Mosaic's divisibility rule).
     grid_spec = pl.GridSpec(
         grid=(nb_pad // MB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(tri_windows.shape, lambda i: (0, 0)),
-            pl.BlockSpec((MB, 8, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((MB, 128, 8), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((MB, 1, 128), lambda i: (i, 0, 0))
+            pl.BlockSpec((MB, 128, 1), lambda i: (i, 0, 0))
             for _ in out_shapes
         ],
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nb_pad, 1, 128), dt)
+        out_shape=[jax.ShapeDtypeStruct((nb_pad, 128, 1), dt)
                    for dt in out_shapes],
         interpret=interpret,
-    )(n_live, tri_windows, rays_blocks)
+    )(n_live, tri_windows, rays_t)
     return [o.reshape(nb_pad, 128)[:nb] for o in outs]
 
 
@@ -595,10 +617,10 @@ def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def primary_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
                   cfg: RenderConfig, interpret: bool = False):
-    """Per-ray-block (min t [NB+1, 128], winner pair index [NB+1, 128]).
+    """Per-ray-block (min t [NB+1, 128], winner FACE id [NB+1, 128]).
 
-    Winner = global pair index into the sorted arrays (win * 128 +
-    sublane); 2^31-1 where no hit.  Blocks with no candidate windows
+    Winner = face id ((t, face) lex-min over the block's candidate
+    windows); 2^31-1 where no hit.  Blocks with no candidate windows
     report t = _BIG.  Row NB is the guard block (discard).
     """
     return tuple(_sweep_call(

@@ -292,8 +292,8 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
             t_slabs.append(t_blk[:NBp].reshape(num_tiles, R))
             f_slabs.append(p_blk[:NBp].reshape(num_tiles, R))
         t_cell = jnp.stack(t_slabs, axis=1)      # [num_tiles, NS, R]
-        win_cell = jnp.stack(f_slabs, axis=1)
-        value_lookup = grid.sorted_faces
+        win_cell = jnp.stack(f_slabs, axis=1)    # already FACE ids
+        value_lookup = None
     else:
         counts = jax.lax.dynamic_slice(grid.cell_count, (c0,),
                                        (cells_local,))
@@ -320,13 +320,18 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         t_cell = t_cell[:cells_local].reshape(num_tiles, NS, R)
         win_cell = win_cell[:cells_local].reshape(num_tiles, NS, R)
 
-    # Winner pair index -> face id here (instead of after the slab scan)
-    # so the heavy-list candidates can be merged by (t, face) lex-min —
-    # the reference's strict-< scan order over its face-ascending merged
-    # cell list (ugrt.trace.heavy docstring).
+    # Winner face id before the slab scan so the heavy-list candidates
+    # can be merged by (t, face) lex-min — the reference's strict-< scan
+    # order over its face-ascending merged cell list (ugrt.trace.heavy
+    # docstring).  The pallas kernel emits faces directly; the XLA path
+    # looks its winner pair index up in sorted_faces.
     _MAXF = jnp.int32(2**31 - 1)
-    f_cell = value_lookup[jnp.clip(win_cell, 0, None)].astype(jnp.int32)
-    f_cell = jnp.where(t_cell >= _BIG, _MAXF, f_cell)
+    if value_lookup is None:
+        f_cell = jnp.where(t_cell >= _BIG, _MAXF, win_cell)
+    else:
+        f_cell = value_lookup[jnp.clip(win_cell, 0, None)
+                              ].astype(jnp.int32)
+        f_cell = jnp.where(t_cell >= _BIG, _MAXF, f_cell)
 
     if grid.heavy_faces.shape[0] > 0:
         from ugrt.trace import heavy as theavy
@@ -340,14 +345,12 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
             from ugrt.trace import pallas_tracer as pt
 
             tri_hw = pt.pack_heavy_windows(co)
-            t_hb, row_hb = pt.heavy_primary_sweep(
+            t_hb, face_hb = pt.heavy_primary_sweep(
                 grid.heavy_count, tri_hw, rays_b, cfg=cfg,
                 interpret=interpret)
             t_h = t_hb[:NBp].reshape(num_tiles, R)
-            rowc = jnp.clip(row_hb[:NBp].reshape(num_tiles, R), 0,
-                            co.face.shape[0] - 1)
             f_h = jnp.where(t_h >= _BIG, jnp.int32(2**31 - 1),
-                            co.face[rowc])
+                            face_hb[:NBp].reshape(num_tiles, R))
         else:
             # Each ray's own grid cell: tile t covers cell
             # (bx0 + t//tiles_y, t % tiles_y) — the footprint mask
