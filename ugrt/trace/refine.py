@@ -45,7 +45,11 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
 
     # gather_corners == vertices[...] forward; its VJP replaces XLA's
     # scatter-add transpose (43.6 ms/step at 1024^2) with sort+prefix.
-    v = gather_corners(vertices, faces[jnp.clip(fid, 0, None)])
+    # Flat index shape: gathering at [H, W, 3] made XLA materialize
+    # ~6.5 ms/step of [H, W, 3, 3] layout copies around the gather.
+    fidx = faces[jnp.clip(fid, 0, None)]
+    v = gather_corners(vertices, fidx.reshape(-1)).reshape(
+        *fidx.shape, 3)
     v0 = v[..., 0, :]
     e1 = v[..., 1, :] - v0
     e2 = v[..., 2, :] - v0
