@@ -193,8 +193,13 @@ def sharded_train_step(mesh: Mesh, *, cfg: RenderConfig, capacity: int,
         # Explicit gradient all-reduce over the mesh (ICI) — BASELINE's
         # north-star collective.  (With check_vma=False the implicit
         # psum of unvaried-primal cotangents does not happen, so it must
-        # be spelled out; XLA schedules it async against remaining
-        # backward compute.)
+        # be spelled out.)  Measured placement
+        # (scripts/trace_psum_overlap.py, 8-device mesh profiler trace):
+        # XLA schedules the vertex-grad all-reduce at 95..100% of the
+        # step — the tail of backward — with ~42% of its span covered by
+        # OTHER devices' still-running backward compute (skew), not by
+        # intra-device async overlap; overlapping it within a device
+        # would require microbatching tiles through the backward.
         gv, gm = grads
         gv = jax.lax.psum(gv, axis)
         gm = jax.lax.psum(gm, axis)
