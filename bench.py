@@ -25,6 +25,11 @@ Guards: a real-TPU pallas-vs-XLA parity check runs before timing
 (--skip-parity to disable) and the warmup step's overflow flag is
 asserted — a benchmark of clipped geometry fails instead of lying.
 
+compile_s note: under the axon tunnel the flagship module compiles
+remotely and the jax persistent compilation cache does NOT apply
+(identical back-to-back runs measured 150-300 s compile each); the
+number is tunnel compile latency, not local XLA time.
+
 Optional dev modes (default output shape unchanged):
   --scene foo.obj   bench a real OBJ scene instead of the procedural one
   --mesh N          run the step as sharded_train_step over an N-device
@@ -231,7 +236,11 @@ def main(argv=None):
         float(out[0])
     dt_fenced = (time.perf_counter() - t0) / n_fenced
 
-    # Chained steady-state timing (the headline).
+    # Chained steady-state timing (the headline).  Warm the chain fn
+    # too — its first call compiles (~0.4 s) and would otherwise land
+    # inside the timed loop.
+    out = step(verts, mats)
+    float(chain(verts, out[1])[0, 0])
     out = step(verts, mats)
     t0 = time.perf_counter()
     for _ in range(iters):

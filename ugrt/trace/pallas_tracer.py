@@ -94,12 +94,16 @@ def pack_tri_windows(vertices, faces, grid: DeviceGrid, origin,
     """
     cap = grid.sorted_faces.shape[0]
     fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
-    v = vertices[faces[fidx]]            # [cap, 3, 3]
-    v0 = v[:, 0]
-    e1 = v[:, 1] - v0
-    e2 = v[:, 2] - v0
+    # Per-FACE staging first ([F, 9] — 73k rows), then ONE row gather at
+    # pair width: the two-level vertices[faces[fidx]] gather at [cap]
+    # width cost ~5 ms/frame in layout copies and reshapes.
+    fv = vertices[faces]                 # [F, 3, 3]
+    v0 = fv[:, 0]
+    e1 = fv[:, 1] - v0
+    e2 = fv[:, 2] - v0
     tvec = origin[None, :] - v0
-    data = jnp.concatenate([tvec, e1, e2], axis=1)   # [cap, 9]
+    per_face = jnp.concatenate([tvec, e1, e2], axis=1)    # [F, 9]
+    data = per_face[fidx]                                 # [cap, 9]
     data = jnp.where((grid.sorted_faces >= 0)[:, None], data, 0.0)
     key = grid.sorted_keys.astype(jnp.float32)[:, None]
     face = grid.sorted_faces.astype(jnp.float32)[:, None]
@@ -135,13 +139,15 @@ def pack_tri_windows_coeff(vertices, faces, grid: DeviceGrid, origin,
     """
     cap = grid.sorted_faces.shape[0]
     fidx = jnp.clip(grid.sorted_faces, 0, faces.shape[0] - 1)
-    v = vertices[faces[fidx]]            # [cap, 3, 3]
-    v0 = v[:, 0]
-    e1 = v[:, 1] - v0
-    e2 = v[:, 2] - v0
+    # Coefficients at FACE width ([F] — 73k rows), then one row gather
+    # at pair width (see pack_tri_windows).
+    fv = vertices[faces]                 # [F, 3, 3]
+    v0 = fv[:, 0]
+    e1 = fv[:, 1] - v0
+    e2 = fv[:, 2] - v0
     tvec = origin[None, :] - v0
 
-    def cr(p, q):  # cross product [cap, 3]
+    def cr(p, q):  # cross product [F, 3]
         return jnp.stack([p[:, 1] * q[:, 2] - p[:, 2] * q[:, 1],
                           p[:, 2] * q[:, 0] - p[:, 0] * q[:, 2],
                           p[:, 0] * q[:, 1] - p[:, 1] * q[:, 0]], axis=1)
@@ -150,7 +156,8 @@ def pack_tri_windows_coeff(vertices, faces, grid: DeviceGrid, origin,
     b = cr(e2, tvec)
     c = cr(tvec, e1)
     k = jnp.sum(e2 * c, axis=1, keepdims=True)
-    data = jnp.concatenate([a, b, c, k], axis=1)     # [cap, 10]
+    per_face = jnp.concatenate([a, b, c, k], axis=1)  # [F, 10]
+    data = per_face[fidx]                             # [cap, 10]
     data = jnp.where((grid.sorted_faces >= 0)[:, None], data, 0.0)
     key = grid.sorted_keys.astype(jnp.float32)[:, None]
     out = jnp.concatenate(
