@@ -43,16 +43,27 @@ def shade_core(primary, shade_camcoords, light_position, primary_eye,
     num_materials = materials.shape[0]
 
     tri = primary["face_id"]
-    idx = xp.where(tri >= 0, mat_index[xp.maximum(tri, 0)], -1)
-    valid = (idx >= 0) & (idx < num_materials)
-
     if xp is not np:
-        # Same values as materials[...]; the custom VJP turns the
-        # material-gradient scatter (9.1 ms/step at 1024^2) into one
-        # one-hot MXU contraction.
         from ugrt.diff.fastgrad import gather_rows
-        mats = gather_rows(materials, xp.maximum(idx, 0))
+
+        # TPU row gathers cost per ROW, not per byte (a 1-wide 1M int
+        # gather measured 7.5 ms where a 6-wide f32 one was 1.9), so
+        # fetch the per-pixel material id + validity as ONE wide f32
+        # row gather from a per-face table (ids < 2^24, exact in f32).
+        face_meta = xp.stack(
+            [mat_index.astype(f32),
+             ((mat_index >= 0) & (mat_index < num_materials)
+              ).astype(f32)], axis=1)                    # [F, 2]
+        rows = face_meta[xp.maximum(tri, 0)]             # [..., 2]
+        idx = rows[..., 0].astype(xp.int32)
+        valid = (tri >= 0) & (rows[..., 1] > 0)
+        # gather_rows' custom VJP turns the material-gradient scatter
+        # (9.1 ms/step at 1024^2) into a one-hot MXU contraction.
+        mats = gather_rows(materials,
+                           xp.clip(idx, 0, num_materials - 1))
     else:
+        idx = xp.where(tri >= 0, mat_index[xp.maximum(tri, 0)], -1)
+        valid = (idx >= 0) & (idx < num_materials)
         mats = materials[xp.maximum(idx, 0)]
     ka = mats[..., 3:6] if cfg.quirks.ka_from_kd else mats[..., 0:3]
     kd = mats[..., 3:6]

@@ -45,22 +45,24 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
 
     # gather_corners == vertices[...] forward; its VJP replaces XLA's
     # scatter-add transpose (43.6 ms/step at 1024^2) with sort+prefix.
-    # Flat index shape: gathering at [H, W, 3] made XLA materialize
-    # ~6.5 ms/step of [H, W, 3, 3] layout copies around the gather.
-    fidx = faces[jnp.clip(fid, 0, None)]
-    v = gather_corners(vertices, fidx.reshape(-1)).reshape(
-        *fidx.shape, 3)
-    v0 = v[..., 0, :]
-    e1 = v[..., 1, :] - v0
-    e2 = v[..., 2, :] - v0
-    tvec = eye[None, None, :] - v0
+    # Everything runs FLAT ([H*W, ...]) and reshapes once at the end:
+    # computing at [H, W, 3, 3] made XLA materialize ~6.5 ms/step of
+    # 4-D layout copies around the gather.
+    H, W = fid.shape
+    fidx = faces[jnp.clip(fid, 0, None)].reshape(-1)       # [N*3]
+    v = gather_corners(vertices, fidx).reshape(H * W, 3, 3)
+    dflat = dirs.reshape(H * W, 3)
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    tvec = eye[None, :] - v0
 
-    pvec = cross(dirs, e2, xp=jnp)
+    pvec = cross(dflat, e2, xp=jnp)
     det = dot(e1, pvec)
     inv_det = 1.0 / det
     u = dot(tvec, pvec) * inv_det
     qvec = cross(tvec, e1, xp=jnp)
-    vv = dot(dirs, qvec) * inv_det
+    vv = dot(dflat, qvec) * inv_det
     t = dot(e2, qvec) * inv_det
     if cfg.quirks.abs_t:
         t = jnp.abs(t)
@@ -70,6 +72,7 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
     if cfg.quirks.abs_normal:
         n = jnp.abs(n)
 
-    t = jnp.where(hit, t, jnp.float32(-1.0))
-    n = jnp.where(hit[..., None], n, jnp.float32(-1.0))
-    return dict(t=t, face_id=fid, normal=n, ray_dir=dirs, u=u, v=vv)
+    t = jnp.where(hit, t.reshape(H, W), jnp.float32(-1.0))
+    n = jnp.where(hit[..., None], n.reshape(H, W, 3), jnp.float32(-1.0))
+    return dict(t=t, face_id=fid, normal=n, ray_dir=dirs,
+                u=u.reshape(H, W), v=vv.reshape(H, W))
