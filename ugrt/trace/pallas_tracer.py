@@ -35,11 +35,22 @@ Design (v4 — scalar-prefetch window scheduling + in-kernel combine):
     skips the redundant copy.
   * The cross-item combine happens IN the kernel: the output block is
     indexed by the item's ray block id, so consecutive items accumulate
-    into the same VMEM-resident [1, 128] row (min/argmin for primary,
-    occlusion OR for shadow) which Mosaic flushes when the block id
-    advances.  Outputs are [NB + 1, 128] — v3's [wcap, 128] per-item
-    outputs plus XLA segment_min/segment_max scatters (the dominant
-    overhead at 1024^2: ~100k-row scatters per pass) are gone.
+    into the same VMEM-resident [1, 128] row ((t, face) lex-min for
+    primary, occlusion OR for shadow) which Mosaic flushes when the
+    block id advances.  Outputs are [NB + 1, 128] — v3's [wcap, 128]
+    per-item outputs plus XLA segment_min/segment_max scatters (the
+    dominant overhead at 1024^2: ~100k-row scatters per pass) are gone.
+    The primary kernel emits winner FACE ids directly (face id packed
+    as window component 10) so no post-hoc winner-index gather exists.
+  * Heavy faces (huge-footprint geometry, see ugrt.grid.build) are
+    swept by dedicated dense kernels (heavy_primary_sweep /
+    heavy_shadow_sweep): the whole coefficient table stays VMEM-
+    resident, each grid step covers MB ray blocks, and the window loop
+    runs over the LIVE window count (SMEM scalar).  Measured variants
+    that LOST on v5e, kept here as design notes: window axis as a grid
+    dimension (+16 ms — per-step overhead), one fused lax loop with
+    all-MB carries (+17 ms — carry traffic), [MB*128]-tall bodies
+    (+6 ms at MB=2, +11 ms at MB=8).
 
 PRIMARY operation order inside the block is IDENTICAL to the XLA path's
 moller_trumbore_t (a*b - c*d cross products, inv_det multiply), just
@@ -72,7 +83,7 @@ from ugrt.grid.build import DeviceGrid
 _BIG = 3.0e38  # plain float: a jnp scalar would be a captured const
 _MAXI = 2**31 - 1
 WIN = 128      # default triangles per window (pair_capacity multiple)
-NCOMP = 16     # component lanes per triangle row (10 used, 16 for tiling)
+NCOMP = 16     # component lanes per triangle row (11 used, 16 for tiling)
 # Window size trade-off: per-item fixed overhead (grid step + extracts)
 # is ~0.5 us against ~0.85 us of [128x128] compute, so long-span sweeps
 # (shadow: ~8.5 windows/block) amortize it with wider windows; primary
