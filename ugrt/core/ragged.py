@@ -23,6 +23,33 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+_COARSE = 1024
+
+
+def searchsorted_2level(sorted_arr, queries):
+    """int32 side="left" searchsorted: coarse binary search over
+    1024-stride row heads + one contiguous [Q, 1024] row gather and
+    compare-count.
+
+    jnp.searchsorted lowers to a serial while loop of ~log2(N) gather
+    rounds (~2.2 ms at N=590k/Q=16k, ~11 ms at N=3.1M/Q=39k on v5e);
+    this halves the loop depth and turns the rest into dense VPU work.
+    The answer lies in row b-1 (row b's head is the first element >= q).
+    """
+    C = _COARSE
+    n = sorted_arr.shape[0]
+    pad = -n % C
+    if pad:
+        sorted_arr = jnp.pad(
+            sorted_arr, (0, pad),
+            constant_values=jnp.iinfo(sorted_arr.dtype).max)
+    rows = sorted_arr.reshape(-1, C)
+    b = jnp.searchsorted(rows[:, 0], queries, side="left")
+    rb = jnp.clip(b - 1, 0, rows.shape[0] - 1)
+    win = rows[rb]                                          # [Q, C]
+    within = jnp.sum((win < queries[:, None]).astype(jnp.int32), axis=1)
+    return jnp.minimum(rb * C + within, n)
+
 
 def segment_ids_from_starts(starts, capacity: int):
     """Dense segment ids for positions arange(capacity).

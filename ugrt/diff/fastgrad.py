@@ -25,32 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
-_COARSE = 1024
-
-
-def _searchsorted_2level(sorted_arr, queries):
-    """side="left" searchsorted via a coarse binary search over row
-    heads + one dense windowed compare-count.
-
-    jnp.searchsorted lowers to a serial while loop over ~log2(N) gather
-    rounds (measured 11 ms at N=3.1M, Q=39k on v5e); searching the
-    [N/1024] row heads cuts the loop depth ~2x and the rest is one
-    contiguous [Q, 1024] row gather + compare reduce (dense VPU work).
-    The answer lies in row b-1 (row b's head is the first element >= q),
-    covering positions ((b-1)*C, b*C].
-    """
-    C = _COARSE
-    n = sorted_arr.shape[0]
-    pad = -n % C
-    if pad:
-        sorted_arr = jnp.pad(sorted_arr, (0, pad),
-                             constant_values=jnp.iinfo(sorted_arr.dtype).max)
-    rows = sorted_arr.reshape(-1, C)
-    b = jnp.searchsorted(rows[:, 0], queries, side="left")
-    rb = jnp.clip(b - 1, 0, rows.shape[0] - 1)
-    win = rows[rb]                                          # [Q, C]
-    within = jnp.sum((win < queries[:, None]).astype(jnp.int32), axis=1)
-    return jnp.minimum(rb * C + within, n)
+from ugrt.core.ragged import searchsorted_2level as _searchsorted_2level
 
 
 @jax.custom_vjp

@@ -217,13 +217,14 @@ def _expand_and_sort(ranges, gz, cfg: RenderConfig, capacity: int,
         cell_offset = (jnp.cumsum(padded_count)
                        - padded_count).astype(jnp.int32)
     else:
-        # CSR from the SORTED keys: offsets[c] = # pairs with key < c,
-        # one vectorized binary search (16k queries x log2(cap) gather
-        # passes) — replaces the 590k-element scatter-add histogram,
-        # which XLA lowers serially on TPU (~20 ms at flagship sizes).
-        bounds = jnp.searchsorted(
-            sorted_key, jnp.arange(num_cells + 1, dtype=jnp.int32),
-            side="left").astype(jnp.int32)
+        # CSR from the SORTED keys: offsets[c] = # pairs with key < c —
+        # a two-level search (ugrt.core.ragged.searchsorted_2level)
+        # instead of the 590k scatter-add histogram (~20 ms serial on
+        # TPU) or jnp.searchsorted's while loop (~2.2 ms).
+        from ugrt.core.ragged import searchsorted_2level
+        bounds = searchsorted_2level(
+            sorted_key, jnp.arange(num_cells + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
         cell_offset = bounds[:num_cells]
         cell_count = bounds[1:] - bounds[:-1]
 
