@@ -84,6 +84,31 @@ def test_sharded_grads_match_single_device(tiny_cfg, cornell,
                                rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_windowed_matches_single_device(tiny_cfg, cornell,
+                                                generic_camera,
+                                                generic_light, mesh8):
+    """Windowed light-grid mode across the mesh: the per-strip angle
+    windows reduce (pmin/pmax) to exactly the single-device window, so
+    the sharded image must match the single-device windowed render."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, light_grid_mode="windowed")
+    verts, mats, faces, mat_index, cc, lcc, lp = _inputs(
+        cfg, cornell, generic_camera, generic_light)
+    cap = cfg.pair_capacity(cornell.num_faces)
+
+    single, ovf1 = render_grad.render_color(
+        verts, mats, faces, mat_index, cc, lcc, lp, cfg=cfg, capacity=cap,
+        num_lights=1, use_spot=True)
+    render = dmesh.sharded_render(mesh8, cfg=cfg, capacity=cap,
+                                  num_lights=1, use_spot=True)
+    sharded, ovf8 = render(verts, mats, faces, mat_index, cc, lcc, lp)
+
+    assert not bool(ovf1) and not bool(ovf8)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_pallas_matches_sharded_xla(tiny_cfg, cornell,
                                             generic_camera, generic_light,
                                             mesh8):
