@@ -114,8 +114,9 @@ def main(argv=None):
                     help="skip the real-TPU pallas/XLA parity preflight")
     ap.add_argument("--pi-extent", action="store_true",
                     help="use the reference's pi light-grid extent "
-                         "override instead of the measured per-frame "
-                         "extents (auto_light_extent)")
+                         "override (light_grid_mode='reference') instead "
+                         "of the windowed parameterization "
+                         "(light_grid_mode='windowed')")
     args = ap.parse_args(argv)
 
     import os
@@ -248,11 +249,18 @@ def main(argv=None):
         out = step(v, mats)
     float(out[0])
     dt = (time.perf_counter() - t0) / iters
+    timing_method = "chained"
     if args.mesh and dt > 2 * dt_fenced:
         # The chain dispatch does not compose with sharded outputs (each
         # iteration reshards through the host); the per-step-fenced
         # number is the honest one in mesh mode (BASELINE.md).
         dt = dt_fenced
+        timing_method = "fenced"
+
+    if compile_s > 120:
+        print(f"WARNING: compile_s={compile_s:.0f}s exceeds the 120 s "
+              "regression bar (round-4 flagship: ~51 s; see BASELINE.md)",
+              file=sys.stderr)
 
     result = {
         "metric": "primary_rays_per_s_fwd_bwd",
@@ -260,11 +268,13 @@ def main(argv=None):
         "unit": f"rays/s/chip ({cfg.screen_width}x{cfg.screen_height}, "
                 f"{scene.num_faces} tris, {backend}"
                 + (f", mesh={args.mesh}" if args.mesh else "")
-                + ", chained)",
+                + f", {timing_method})",
         "vs_baseline": cfg.image_size / dt / NOMINAL_BASELINE,
         "detail": {
             "step_ms_chained": round(dt * 1000, 2),
             "step_ms_fenced": round(dt_fenced * 1000, 2),
+            "timing_method": timing_method,
+            "light_grid_mode": cfg.light_grid_mode,
             "compile_s": round(compile_s, 1),
             "scene": scene_name,
             "trace_backend": trace_backend,

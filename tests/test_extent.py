@@ -1,9 +1,12 @@
-"""Auto light-grid extent (RenderConfig.auto_light_extent) tests.
+"""Light-grid parameterization (RenderConfig.light_grid_mode) tests.
 
 The reference computes per-frame max hit-point angles and then overrides
-them with pi (main.cu:174-187); auto_light_extent uses the computed
-values, so the light grid resolves the lit region instead of collapsing
-it into a few cells.  Occlusion results must stay essentially identical
+them with pi (main.cu:174-187); light_grid_mode="extent" (via explicit
+x_max/y_max from tshadow.light_extents) uses the computed values and
+light_grid_mode="windowed" (tshadow.light_window) maps the signed-angle
+window of the hit points across the whole grid, so the light grid
+resolves the lit region instead of collapsing it into a few cells.
+Occlusion results must stay essentially identical
 (same conservative candidate unions, modulo vertex-AABB binning
 differences at the new cell granularity).
 """

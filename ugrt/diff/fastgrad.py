@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 
+from ugrt.core.ragged import dense_int_bounds as _dense_int_bounds
 from ugrt.core.ragged import searchsorted_2level as _searchsorted_2level
 
 
@@ -53,6 +54,70 @@ def _corners_bwd(res, g):
 
 
 gather_corners.defvjp(_corners_fwd, _corners_bwd)
+
+
+@jax.custom_vjp
+def gather_face_corners(vertices, faces, fid):
+    """Two-level corner fetch: vertices[faces[fid]] -> [..., 3, 3].
+
+    fid: [...] int32 winning-face ids, pre-clipped to >= 0 (miss pixels
+    carry zero cotangents downstream, so their face-0 rows contribute
+    nothing to the backward).
+
+    Forward: one [F, 9] per-face corner table (F ~ 75k rows) + one wide
+    row gather at pixel width — TPU row gathers cost per ROW, so this is
+    ~3x cheaper than gathering 3 corner rows per pixel.
+
+    Backward (round-5, VERDICT r4 #4): accumulate pixel cotangents at
+    FACE granularity first — sort (fid, pixel) pairs (1M x 2 operands, vs
+    the 3.1M x 4-operand corner-index sort this replaces), one wide row
+    gather of the 9-wide cotangents through the permutation, prefix-sum +
+    CSR-bounds differences -> per-face corner sums [F, 3, 3] — then
+    scatter those into vertices with the same sort+prefix trick at 3F
+    rows (~225k, trivial).  Summation is deterministic (sorted order);
+    prefix-difference error ~eps*sqrt(N_prefix/N_segment) as in
+    gather_corners.
+    """
+    return _face_corners_gather(vertices, faces, fid)
+
+
+def _face_corners_gather(vertices, faces, fid):
+    # [F, 9] table keeps the gathered row contiguous on the lane axis
+    # (a [F, 3, 3] gather would fetch 3-wide padded rows three times).
+    tbl = vertices[faces].reshape(faces.shape[0], 9)
+    return tbl[fid].reshape(fid.shape + (3, 3))
+
+
+def _face_corners_fwd(vertices, faces, fid):
+    return (_face_corners_gather(vertices, faces, fid),
+            (faces, fid, vertices.shape[0]))
+
+
+def _face_corners_bwd(res, g):
+    faces, fid, V = res
+    F = faces.shape[0]
+    flat_fid = fid.reshape(-1)
+    n = flat_fid.shape[0]
+    gf = g.reshape(n, 9)
+    pix = jnp.arange(n, dtype=jnp.int32)
+    sfid, spix = jax.lax.sort((flat_fid, pix), num_keys=1)
+    sg = gf[spix]
+    cum = jnp.cumsum(sg, axis=0)
+    cpad = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
+    fb = _dense_int_bounds(sfid, F)
+    face_g = (cpad[fb[1:]] - cpad[fb[:-1]]).reshape(F * 3, 3)
+
+    vidx = faces.reshape(-1).astype(jnp.int32)
+    svidx, gx, gy, gz = jax.lax.sort(
+        (vidx, face_g[:, 0], face_g[:, 1], face_g[:, 2]), num_keys=1)
+    cum2 = jnp.cumsum(jnp.stack([gx, gy, gz], axis=1), axis=0)
+    c2 = jnp.concatenate([jnp.zeros((1, 3), cum2.dtype), cum2], axis=0)
+    vb = _dense_int_bounds(svidx, V)
+    out = c2[vb[1:]] - c2[vb[:-1]]
+    return out, None, None
+
+
+gather_face_corners.defvjp(_face_corners_fwd, _face_corners_bwd)
 
 
 @jax.custom_vjp

@@ -95,10 +95,7 @@ def _strip_color(vertices, materials, faces, mat_index, camcoords,
             y0 = jax.lax.pmin(y0, axis_name)
             x1 = jax.lax.pmax(x1, axis_name)
             y1 = jax.lax.pmax(y1, axis_name)
-            m = jnp.float32(2e-3)
-            wx = jnp.maximum(x1 - x0, jnp.float32(1e-4))
-            wy = jnp.maximum(y1 - y0, jnp.float32(1e-4))
-            window = (x0 - wx * m, x1 + wx * m, y0 - wy * m, y1 + wy * m)
+            window = tshadow.apply_window_margin(x0, x1, y0, y1)
         lgrid = gbuild.build_spherical_grid(
             vsg, faces, lcc, cfg=cfg, capacity=lcap,
             x_max=x_max, y_max=y_max, window=window)

@@ -74,6 +74,59 @@ def load_material_file(path: str) -> np.ndarray:
     return mats
 
 
+def write_obj(path: str, scene: Scene) -> None:
+    """Deterministic OBJ writer — the round-trip partner of load_scene.
+
+    Emits ``v`` lines with 9 significant digits (exact float32 round
+    trip), ``usemtl m<k>`` switches wherever the face material index
+    changes, and 1-indexed ``f`` lines — the subset of the grammar both
+    the Python parser (obj_loader) and the native C++ parser
+    (native/ugrt_native.cpp) consume.  A sibling ``<path>.mtl`` holds
+    ``newmtl m0..mM`` in index order (both parsers assign material ids
+    by mtllib registration order, so ``m<k>`` maps back to index k).
+    Exists so real file-driven end-to-end runs (reference flow:
+    scene.h:141-334 reads sibenik.obj from disk) are testable without
+    binary fixtures in the repo.
+    """
+    mtl_name = os.path.basename(path) + ".mtl"
+    with open(path + ".mtl", "w") as fh:
+        for k, m in enumerate(np.asarray(scene.materials,
+                                         dtype=np.float32)):
+            fh.write(f"newmtl m{k}\n"
+                     f"Ka {m[0]:.9g} {m[1]:.9g} {m[2]:.9g}\n"
+                     f"Kd {m[3]:.9g} {m[4]:.9g} {m[5]:.9g}\n")
+    lines = [f"mtllib {mtl_name}"]
+    for v in scene.vertices:
+        lines.append(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}")
+    last_mat = None
+    for f in range(scene.num_faces):
+        m = int(scene.mat_index[f])
+        if m != last_mat:
+            lines.append(f"usemtl m{m}")
+            last_mat = m
+        a, b, c = (int(x) + 1 for x in scene.faces[f])
+        lines.append(f"f {a} {b} {c}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def write_material_file(path: str, materials: np.ndarray) -> None:
+    """Write the reference's custom material format (the exact token
+    grammar load_material_file / some_material consumes, scene.h:370-439):
+    per material ``newmtl <name> <tag>``, 3 ambient floats, one skipped
+    token, 3 diffuse floats, 11 skipped tokens, a texture name (NA)."""
+    toks = []
+    for k, m in enumerate(np.asarray(materials, dtype=np.float32)):
+        toks.append(f"newmtl m{k} t{k}")
+        toks.append(f"{m[0]:.9g} {m[1]:.9g} {m[2]:.9g}")
+        toks.append("Kd")
+        toks.append(f"{m[3]:.9g} {m[4]:.9g} {m[5]:.9g}")
+        toks.append("0 0 0 0 0 0 0 0 0 0 0")  # 11 skipped tokens
+        toks.append("NA")
+    with open(path, "w") as fh:
+        fh.write("\n".join(toks) + "\n")
+
+
 def load_scene(obj_path: str, material_path: str | None = None,
                prefer_native: bool = True) -> Scene:
     """Model::load_model static path (scene.h:226-331).

@@ -456,22 +456,32 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
     (min t, winner FACE id from table row 14) per ray — min face among
     exact-t ties per window, strict-< across windows; heavy faces are
     packed ascending, so this equals heavy_min_t's lex-min.
-    Each grid step covers MB ray blocks (measured: per-step overhead is
-    ~4.5 us regardless of window count, so small steps are pure loss).
-    The mb loop is a static unroll (ray-row extracts hoisted per block);
-    the window loop is a lax loop over the LIVE window count (SMEM
-    scalar) — unrolling both overflows Mosaic's VMEM stack, and the
-    static capacity's dead windows are real work the table size alone
-    would force.
+    Each grid step covers MB ray blocks.
+
+    Loop structure (round 5): ONE lax loop over the LIVE window count
+    (SMEM scalar) per grid step, with the mb loop statically unrolled
+    INSIDE the body and accumulation going through the OUTPUT refs (no
+    loop carries).  Round 4 ran one fori per mb, each carrying TWO
+    [128, 1] accumulators — MB x steps = 8.2k loop instances of Mosaic
+    while setup plus double-carry traffic; this form measured 53.1 ->
+    22.4 ms at flagship scale in isolation (scripts/micro_heavy.py,
+    bitwise-identical) and 25.6 -> 22.9 ms/step in the full-step trace.
+    The round-4 variant with all-MB loop CARRIES lost ~17 ms to carry
+    traffic — routing the accumulators through the output refs instead
+    is what makes the single-loop form win.  NOTE the SHADOW kernel
+    keeps the per-mb form: with only one small carry it measured FASTER
+    that way (see _heavy_shadow_kernel).  The static capacity's dead
+    windows are skipped entirely (live count bounds the loop).
     """
     del nwh  # static bound only pads the table; live windows come in SMEM
-    for mb in range(MB):
-        # Ray components as [128, 1] columns: one lane-extract each per
-        # ray block, amortized over all windows.
-        rays = tuple(rays_ref[mb, :, c][:, None] for c in (0, 1, 2, 4, 5))
+    t_out[:] = jnp.full(t_out.shape, jnp.float32(_BIG))
+    i_out[:] = jnp.full(i_out.shape, jnp.int32(_MAXI))
 
-        def w_body(w, acc, rays=rays):
-            t_acc, i_acc = acc
+    def w_body(w, carry):
+        for mb in range(MB):
+            # Ray components as [128, 1] columns (lane extracts).
+            rays = tuple(rays_ref[mb, :, c][:, None]
+                         for c in (0, 1, 2, 4, 5))
             t, reject = _heavy_common(tri_ref, rays, w, cfg)
             if cfg.quirks.abs_t:
                 t = jnp.abs(t)
@@ -480,17 +490,12 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
             face_row = tri_ref[14, pl.ds(w * WIN, WIN)][None, :]
             fcand = jnp.where(t == tmin, face_row, jnp.float32(_BIG))
             fmin = jnp.min(fcand, axis=1)[:, None]
-            upd = tmin < t_acc
-            i_acc = jnp.where(upd, fmin.astype(jnp.int32), i_acc)
-            t_acc = jnp.where(upd, tmin, t_acc)
-            return (t_acc, i_acc)
+            upd = tmin < t_out[mb]
+            i_out[mb] = jnp.where(upd, fmin.astype(jnp.int32), i_out[mb])
+            t_out[mb] = jnp.where(upd, tmin, t_out[mb])
+        return carry
 
-        t_acc, i_acc = jax.lax.fori_loop(
-            0, nlive_ref[0], w_body,
-            (jnp.full((128, 1), jnp.float32(_BIG)),
-             jnp.full((128, 1), jnp.int32(_MAXI))))
-        t_out[mb] = t_acc
-        i_out[mb] = i_acc
+    jax.lax.fori_loop(0, nlive_ref[0], w_body, 0)
 
 
 def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
@@ -499,6 +504,16 @@ def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
 
     Ray rows: 0:3 dir, 3 light-to-point distance, 4 cell key (unused
     here), 5 gx, 6 gy.
+
+    Loop structure: one fori PER MB with a single [128, 1] int32 carry —
+    the opposite choice from _heavy_primary_kernel, because measurement
+    disagreed between the kernels (scripts/micro_heavy_shadow.py at 589
+    live faces: per-mb-fori 24.5 ms vs single-fori/out-ref 38.2 ms,
+    bitwise equal; in-step trace agreed, 22.4 vs 36.2 ms/step).  The
+    primary kernel's single-loop form wins there because its TWO
+    [128, 1] carries double the per-instance while overhead; the shadow
+    kernel's one small carry keeps the per-mb form cheap and preserves
+    Mosaic's DMA/compute pipelining across mb.
     """
     del nwh
     for mb in range(MB):
@@ -527,7 +542,7 @@ def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
         sh_out[mb] = acc
 
 
-def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_blocks,
+def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_rm,
                 out_shapes, interpret: bool):
     """Dense (ray block x live heavy windows) sweep: grid over groups of
     MB ray blocks; the packed heavy table is a full-array block Mosaic
@@ -536,16 +551,18 @@ def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_blocks,
     runs only over ceil(heavy_count / WIN) live windows (SMEM scalar) —
     the static table is sized by heavy_capacity, and sweeping its dead
     windows measured ~30 ms/step at 1024^2 with 16 live faces in a
-    1024-capacity table."""
-    nb = rays_blocks.shape[0]
+    1024-capacity table.
+
+    rays_rm is RAY-MAJOR [NB, 128 rays, 8 comps] — the natural layout
+    of the per-ray row data (round 5: taking the comp-major sweep
+    layout here cost a [NB, 8, 128] -> [NB, 128, 8] transpose per call,
+    ~1.6 ms each at 1024^2).  Inside the kernel, components are
+    [128, 1] lane-extracts once per block."""
+    nb = rays_rm.shape[0]
     nb_pad = -(-nb // MB) * MB
     if nb_pad != nb:
-        rays_blocks = jnp.pad(rays_blocks,
-                              ((0, nb_pad - nb), (0, 0), (0, 0)))
-    # Ray-sublane orientation: [nb, 128 rays, 8 comps] (one XLA
-    # transpose outside the kernel; inside, components are [128, 1]
-    # lane-extracts once per block).
-    rays_t = jnp.swapaxes(rays_blocks, 1, 2)
+        rays_rm = jnp.pad(rays_rm, ((0, nb_pad - nb), (0, 0), (0, 0)))
+    rays_t = rays_rm
     nwh = tri_windows.shape[1] // WIN
     kernel = functools.partial(kernel_fn, nwh=nwh)
     n_live = jnp.clip(
@@ -576,23 +593,25 @@ def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_blocks,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def heavy_primary_sweep(heavy_count, tri_windows, rays_blocks, *,
+def heavy_primary_sweep(heavy_count, tri_windows, rays_rm, *,
                         cfg: RenderConfig, interpret: bool = False):
     """Per-ray (min t [NB, 128], winner heavy ROW [NB, 128]) over the
-    packed heavy table; _BIG / int32-max where none."""
+    packed heavy table; _BIG / int32-max where none.  rays_rm is
+    RAY-MAJOR [NB, 128, 8] (see _heavy_call)."""
     return tuple(_heavy_call(
         functools.partial(_heavy_primary_kernel, cfg=cfg),
-        heavy_count, tri_windows, rays_blocks,
+        heavy_count, tri_windows, rays_rm,
         (jnp.float32, jnp.int32), interpret))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def heavy_shadow_sweep(heavy_count, tri_windows, rays_blocks, *,
+def heavy_shadow_sweep(heavy_count, tri_windows, rays_rm, *,
                        cfg: RenderConfig, interpret: bool = False):
-    """Per-ray heavy occlusion flags [NB, 128] int32."""
+    """Per-ray heavy occlusion flags [NB, 128] int32.  rays_rm is
+    RAY-MAJOR [NB, 128, 8] (see _heavy_call)."""
     (sh,) = _heavy_call(
         functools.partial(_heavy_shadow_kernel, cfg=cfg),
-        heavy_count, tri_windows, rays_blocks, (jnp.int32,), interpret)
+        heavy_count, tri_windows, rays_rm, (jnp.int32,), interpret)
     return sh
 
 

@@ -249,36 +249,42 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
         NW = tri_w.shape[0]
         wcap_p = NBp + NW
 
-        dirs_T = jnp.swapaxes(rays_t.reshape(NBp, 2 * R, 3), 1, 2)
+        # RAY-MAJOR row assembly [NBp, 128, 8] (comps: dir xyz, cell
+        # key, gx, gy, pad2) — the natural layout of rays_t, consumed
+        # directly by the heavy kernels; ONE swapaxes derives the
+        # comp-major [NBp+1, 8, 128] layout the windowed sweep wants.
+        dirs_rm = rays_t.reshape(NBp, 2 * R, 3)
         tiles_local = jnp.arange(num_tiles, dtype=jnp.int32)
         gcell_base = (c0 + tiles_local * NS).reshape(NBp, 2)
         blocks2 = jnp.arange(NBp, dtype=jnp.int32)
-        # Rows 4/5: the ray's own grid-cell coordinates (heavy-kernel
+        # Comps 4/5: the ray's own grid-cell coordinates (heavy-kernel
         # footprint mask); every ray of a tile shares its tile's cell.
         gx_t = (jnp.asarray(bx0, jnp.int32)
                 + tiles_local // tiles_y).astype(jnp.float32)
         gy_t = (tiles_local % tiles_y).astype(jnp.float32)
-        gxrow = jnp.broadcast_to(
-            gx_t.reshape(NBp, 2)[..., None], (NBp, 2, R)
-        ).reshape(NBp, 1, 2 * R)
-        gyrow = jnp.broadcast_to(
-            gy_t.reshape(NBp, 2)[..., None], (NBp, 2, R)
-        ).reshape(NBp, 1, 2 * R)
-        zeros2 = jnp.zeros((NBp, 2, 2 * R), jnp.float32)
-        guard = jnp.concatenate(
-            [jnp.zeros((1, 3, 2 * R), jnp.float32),
-             jnp.full((1, 3, 2 * R), -1.0, jnp.float32),
-             jnp.zeros((1, 2, 2 * R), jnp.float32)], axis=1)
+        gxcol = jnp.broadcast_to(
+            gx_t.reshape(NBp, 2)[:, :, None], (NBp, 2, R)
+        ).reshape(NBp, 2 * R, 1)
+        gycol = jnp.broadcast_to(
+            gy_t.reshape(NBp, 2)[:, :, None], (NBp, 2, R)
+        ).reshape(NBp, 2 * R, 1)
+        zeros2 = jnp.zeros((NBp, 2 * R, 2), jnp.float32)
+        guard_rm = jnp.concatenate(
+            [jnp.zeros((1, 2 * R, 3), jnp.float32),
+             jnp.full((1, 2 * R, 3), -1.0, jnp.float32),
+             jnp.zeros((1, 2 * R, 2), jnp.float32)], axis=2)
 
         t_slabs = []
         f_slabs = []
+        rows_rm = None
         for s in range(NS):
-            keyrow = jnp.broadcast_to(
-                (gcell_base + s)[..., None].astype(jnp.float32),
-                (NBp, 2, R)).reshape(NBp, 1, 2 * R)
-            rays_b = jnp.concatenate(
-                [dirs_T, keyrow, gxrow, gyrow, zeros2], axis=1)
-            rays_b = jnp.concatenate([rays_b, guard], axis=0)
+            keycol = jnp.broadcast_to(
+                (gcell_base + s)[:, :, None].astype(jnp.float32),
+                (NBp, 2, R)).reshape(NBp, 2 * R, 1)
+            rows_rm = jnp.concatenate(
+                [dirs_rm, keycol, gxcol, gycol, zeros2], axis=2)
+            rows_rm = jnp.concatenate([rows_rm, guard_rm], axis=0)
+            rays_b = jnp.swapaxes(rows_rm, 1, 2)
             k1 = c0 + (2 * blocks2) * NS + s
             k2 = c0 + (2 * blocks2 + 1) * NS + s
             lo = grid.cell_offset[k1]
@@ -346,7 +352,7 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
 
             tri_hw = pt.pack_heavy_windows(co)
             t_hb, face_hb = pt.heavy_primary_sweep(
-                grid.heavy_count, tri_hw, rays_b, cfg=cfg,
+                grid.heavy_count, tri_hw, rows_rm, cfg=cfg,
                 interpret=interpret)
             t_h = t_hb[:NBp].reshape(num_tiles, R)
             f_h = jnp.where(t_h >= _BIG, jnp.int32(2**31 - 1),

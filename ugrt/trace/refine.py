@@ -36,21 +36,24 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
     t is discarded and recomputed so gradients attach).  Misses keep the
     reference sentinels (t=-1, normal=-1).
     """
-    from ugrt.diff.fastgrad import gather_corners
+    from ugrt.diff.fastgrad import gather_face_corners
 
     fid = jax.lax.stop_gradient(primary_raw["face_id"])
     dirs = jax.lax.stop_gradient(primary_raw["ray_dir"])
     eye = camcoords[0:3]
     hit = fid >= 0
 
-    # gather_corners == vertices[...] forward; its VJP replaces XLA's
-    # scatter-add transpose (43.6 ms/step at 1024^2) with sort+prefix.
+    # gather_face_corners == vertices[faces[fid]] forward (as one [F, 9]
+    # table + one wide pixel-width row gather); its VJP accumulates
+    # cotangents at FACE granularity first (sort 1M x 2 operands instead
+    # of the corner-level 3.1M x 4 — VERDICT r4 #4), then scatters the
+    # [F, 3, 3] face sums into vertices with a small 3F-row sort.
     # Everything runs FLAT ([H*W, ...]) and reshapes once at the end:
     # computing at [H, W, 3, 3] made XLA materialize ~6.5 ms/step of
     # 4-D layout copies around the gather.
     H, W = fid.shape
-    fidx = faces[jnp.clip(fid, 0, None)].reshape(-1)       # [N*3]
-    v = gather_corners(vertices, fidx).reshape(H * W, 3, 3)
+    v = gather_face_corners(vertices, faces,
+                            jnp.clip(fid, 0, None).reshape(-1))
     dflat = dirs.reshape(H * W, 3)
     v0 = v[:, 0]
     e1 = v[:, 1] - v0

@@ -193,8 +193,30 @@ def light_extents(primary, primary_eye, light_camcoords,
     return (jnp.clip(xm, f32(1e-3), pi), jnp.clip(ym, f32(1e-3), pi))
 
 
+# Windowed light-grid margin: fraction of the window width added per
+# side, and the width floor (degenerate windows).  ugrt.dist.mesh
+# re-applies these after its cross-device min/max reduction — keep the
+# single source of truth here (ADVICE r4).
+WINDOW_MARGIN = 2e-3
+WINDOW_MIN_WIDTH = 1e-4
+
+
+def apply_window_margin(x0, x1, y0, y1, margin: float = WINDOW_MARGIN):
+    """Pad raw signed-angle bounds by ``margin`` of the width per side
+    (width floored at WINDOW_MIN_WIDTH)."""
+    f32 = jnp.float32
+
+    def pad(lo, hi):
+        w = jnp.maximum(hi - lo, f32(WINDOW_MIN_WIDTH))
+        return lo - w * f32(margin), hi + w * f32(margin)
+
+    x0, x1 = pad(x0, x1)
+    y0, y1 = pad(y0, y1)
+    return x0, x1, y0, y1
+
+
 def light_window(primary, primary_eye, light_camcoords,
-                 cfg: RenderConfig, margin: float = 2e-3):
+                 cfg: RenderConfig, margin: float = WINDOW_MARGIN):
     """(x0, x1, y0, y1): the signed-angle window of the hit points as
     seen from the light, padded by ``margin`` of the width per side.
 
@@ -217,14 +239,12 @@ def light_window(primary, primary_eye, light_camcoords,
 
     def lohi(s):
         ok = ~jnp.isnan(s)
-        lo = jnp.min(jnp.where(ok, s, big))
-        hi = jnp.max(jnp.where(ok, s, -big))
-        w = jnp.maximum(hi - lo, f32(1e-4))
-        return lo - w * f32(margin), hi + w * f32(margin)
+        return (jnp.min(jnp.where(ok, s, big)),
+                jnp.max(jnp.where(ok, s, -big)))
 
     x0, x1 = lohi(sx)
     y0, y1 = lohi(sy)
-    return x0, x1, y0, y1
+    return apply_window_margin(x0, x1, y0, y1, margin)
 
 
 def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
@@ -310,14 +330,21 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
     scells = jnp.pad(sorted_cells, (0, n_pad - n),
                      constant_values=sentinel)
 
-    # Per-ray shadow data, one wide row gather through the permutation,
-    # padded to the block boundary (padding rays carry the sentinel cell
-    # and are masked everywhere by the cell-equality test).
-    spts = pts[sorted_ray]                                   # [N, 3]
-    delta = spts - L[None]
-    dist_pt = jnp.pad(jnp.sqrt(dot(delta, delta)), (0, n_pad - n))
-    sh_dirs = jnp.pad(normalize(delta, xp=jnp),
-                      ((0, n_pad - n), (0, 0)))
+    # Per-ray shadow data: compute (dir, dist) in ORIGINAL ray order —
+    # pure elementwise on pts, fused by XLA into the upstream chain —
+    # then ONE 4-wide row gather through the permutation (round 5: the
+    # previous pts[sorted_ray] 3-wide gather materialized into a
+    # transposed T(4,128) layout, 4.6 ms/step at 1024^2; gather commutes
+    # with elementwise ops bitwise, so results are unchanged).  Padding
+    # rays carry the sentinel cell and are masked everywhere by the
+    # cell-equality test.
+    delta0 = pts - L[None]
+    dist0 = jnp.sqrt(dot(delta0, delta0))
+    dirs0 = normalize(delta0, xp=jnp)
+    rows0 = jnp.concatenate([dirs0, dist0[:, None]], axis=1)  # [N, 4]
+    srows = jnp.pad(rows0[sorted_ray], ((0, n_pad - n), (0, 0)))
+    dist_pt = srows[:, 3]
+    sh_dirs = srows[:, 0:3]
 
     if backend == "pallas":
         # v3 window scheduler (ugrt.trace.pallas_tracer): work item =
@@ -356,31 +383,34 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         last_real = jnp.max(
             jnp.where(scell_blk < sentinel, scell_blk, -1), axis=1)
 
-        rows = jnp.concatenate(
-            [sh_dirs, dist_pt[:, None]], axis=1)          # [n_pad, 4]
-        rows_T = jnp.swapaxes(rows.reshape(NB, R, 4), 1, 2)
-        # Rows 5/6: the ray's light-cell coordinates for the heavy
-        # kernel's footprint mask; sentinel cells give gx == grid_x,
-        # outside every footprint (the sentinel exclusion).
-        gxrow = (scell_blk // cfg.grid_y).astype(jnp.float32)[:, None, :]
-        gyrow = (scell_blk % cfg.grid_y).astype(jnp.float32)[:, None, :]
-        guard = jnp.concatenate(
-            [jnp.zeros((1, 4, R), jnp.float32),
-             jnp.full((1, 3, R), -1.0, jnp.float32),
-             jnp.zeros((1, 1, R), jnp.float32)], axis=1)
+        # RAY-MAJOR row assembly [NB, R, 8] (comps: dir xyz, dist, cell
+        # key, gx, gy, pad) — srows is already ray-major, the heavy
+        # kernel consumes this layout directly, and ONE swapaxes derives
+        # the comp-major layout the windowed sweep wants.  Comps 5/6:
+        # the ray's light-cell coordinates for the heavy kernel's
+        # footprint mask; sentinel cells give gx == grid_x, outside
+        # every footprint (the sentinel exclusion).
+        srows_b = srows.reshape(NB, R, 4)
+        gxcol = (scell_blk // cfg.grid_y).astype(jnp.float32)[:, :, None]
+        gycol = (scell_blk % cfg.grid_y).astype(jnp.float32)[:, :, None]
+        guard_rm = jnp.concatenate(
+            [jnp.zeros((1, R, 4), jnp.float32),
+             jnp.full((1, R, 3), -1.0, jnp.float32),
+             jnp.zeros((1, R, 1), jnp.float32)], axis=2)
 
         shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
         overflow = jnp.asarray(False)
-        rays_b = None
+        rows_rm = None
         for slab in range(NS):
-            keyrow = jnp.where(
+            keycol = jnp.where(
                 scell_blk < sentinel,
                 (scell_blk * NS + slab).astype(jnp.float32),
-                -1.0)[:, None, :]                         # [NB, 1, R]
-            rays_b = jnp.concatenate(
-                [rows_T, keyrow, gxrow, gyrow,
-                 jnp.zeros((NB, 1, R), jnp.float32)], axis=1)
-            rays_b = jnp.concatenate([rays_b, guard], axis=0)
+                -1.0)[:, :, None]                         # [NB, R, 1]
+            rows_rm = jnp.concatenate(
+                [srows_b, keycol, gxcol, gycol,
+                 jnp.zeros((NB, R, 1), jnp.float32)], axis=2)
+            rows_rm = jnp.concatenate([rows_rm, guard_rm], axis=0)
+            rays_b = jnp.swapaxes(rows_rm, 1, 2)
 
             k1 = jnp.clip(first_cell, 0, sentinel - 1) * NS + slab
             k2 = jnp.clip(last_real, 0, sentinel - 1) * NS + slab
@@ -413,7 +443,7 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
                 light_grid.heavy_count, L, light_grid.heavy_ranges)
             tri_hw = pt.pack_heavy_windows(co)
             sh_hb = pt.heavy_shadow_sweep(light_grid.heavy_count, tri_hw,
-                                          rays_b, cfg=cfg,
+                                          rows_rm, cfg=cfg,
                                           interpret=interpret)
             shadow_blocks = jnp.maximum(shadow_blocks, sh_hb[:NB])
 
