@@ -85,7 +85,14 @@ def test_pallas_heavy_primary_matches_xla(small_cfg, cornell):
 
 def test_pallas_heavy_shadow_matches_xla(small_cfg, cornell,
                                          generic_camera, generic_light):
-    """heavy_shadow_sweep (pallas) == heavy_shadowed (XLA), bitwise."""
+    """Pallas heavy shadow occlusion == heavy_shadowed (XLA), exactly.
+
+    The pallas path runs heavy faces through the scheduled shadow sweep
+    as footprint-box windows (pack_heavy_coeff_windows); its u/v
+    inv-det accept form rounds differently from the XLA path's
+    multiplied-out det^2 form, but the shadow margins (epsilon accept +
+    shadow_epsilon distance) absorb ulp differences — asserted exact
+    here and bounded at <= 16 px by the bench parity gate."""
     cfg = small_cfg
     cc = _cc(generic_camera, cfg)
     lcc = _cc(generic_light, cfg)

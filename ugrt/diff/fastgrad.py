@@ -57,6 +57,39 @@ gather_corners.defvjp(_corners_fwd, _corners_bwd)
 
 
 @jax.custom_vjp
+def gather_face_data(vertices, faces, aux, fid):
+    """gather_face_corners plus non-differentiable per-face AUX columns
+    riding the same pixel-width row gather.
+
+    aux: [F, A] f32 (e.g. shading metadata: material id, validity) —
+    appended to the [F, 9] corner table so ONE [N, 9+A] gather serves
+    both refine and shading (a separate [N, 2] meta gather regressed
+    1.9 -> 15.3 ms/step when XLA stopped staging its table in fast
+    memory; this shape keeps everything in the gather XLA already
+    stages).  Returns (corners [..., 3, 3], aux_rows [..., A]).  The
+    VJP treats aux as constant (integer-derived metadata).
+    """
+    tbl = jnp.concatenate(
+        [vertices[faces].reshape(faces.shape[0], 9), aux], axis=1)
+    rows = tbl[fid]
+    return (rows[..., :9].reshape(fid.shape + (3, 3)),
+            rows[..., 9:])
+
+
+def _face_data_fwd(vertices, faces, aux, fid):
+    return (gather_face_data(vertices, faces, aux, fid),
+            (faces, fid, vertices.shape[0]))
+
+
+def _face_data_bwd(res, g):
+    out = _face_corners_bwd(res, g[0])[0]
+    return out, None, None, None
+
+
+gather_face_data.defvjp(_face_data_fwd, _face_data_bwd)
+
+
+@jax.custom_vjp
 def gather_face_corners(vertices, faces, fid):
     """Two-level corner fetch: vertices[faces[fid]] -> [..., 3, 3].
 
@@ -99,9 +132,15 @@ def _face_corners_bwd(res, g):
     flat_fid = fid.reshape(-1)
     n = flat_fid.shape[0]
     gf = g.reshape(n, 9)
-    pix = jnp.arange(n, dtype=jnp.int32)
-    sfid, spix = jax.lax.sort((flat_fid, pix), num_keys=1)
-    sg = gf[spix]
+    # Sort the 9 cotangent columns along as radix-sort PAYLOADS: the
+    # permutation-gather alternative (sort (fid, pix) then gf[spix])
+    # emitted a transposed-layout [n, 9] gather XLA runs at 6.5 ms/step
+    # at 1024^2; the 10-operand sort is ~4 ms and the column slices of
+    # gf are contiguous in its transposed layout.
+    s = jax.lax.sort((flat_fid,) + tuple(gf[:, j] for j in range(9)),
+                     num_keys=1)
+    sfid = s[0]
+    sg = jnp.stack(s[1:], axis=1)
     cum = jnp.cumsum(sg, axis=0)
     cpad = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
     fb = _dense_int_bounds(sfid, F)

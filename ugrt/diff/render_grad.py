@@ -75,7 +75,10 @@ def render_color(vertices, materials, faces, mat_index, camcoords,
         shade_cc = lcc
     shadowed = jax.lax.stop_gradient(shadowed)
 
-    refined = trefine.refine_primary(vertices, faces, camcoords, raw, cfg)
+    refined = trefine.refine_primary(
+        vertices, faces, camcoords, raw, cfg,
+        face_aux=shaders.face_shade_meta(mat_index, materials.shape[0],
+                                         jnp))
 
     if use_spot:
         color = shaders.spotlight(refined, shade_cc, light_position, eye,

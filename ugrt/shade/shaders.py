@@ -29,6 +29,18 @@ from ugrt.core.vecmath import dot, normalize, rotate_basis
 from ugrt.grid import binning
 
 
+def face_shade_meta(mat_index, num_materials: int, xp=np):
+    """[F, 2] f32 per-face shading metadata: (material id, validity) —
+    ids < 2^24 are exact in f32.  Pass through refine_primary's
+    face_aux so shading reuses the refine row gather (see shade_core).
+    """
+    f32 = xp.float32
+    return xp.stack(
+        [mat_index.astype(f32),
+         ((mat_index >= 0) & (mat_index < num_materials)).astype(f32)],
+        axis=1)
+
+
 def shade_core(primary, shade_camcoords, light_position, primary_eye,
                mat_index, materials, cfg: RenderConfig, drop_off, xp=np):
     """lambert_color_pixel / lambert_color_drop_off_pixel
@@ -50,11 +62,16 @@ def shade_core(primary, shade_camcoords, light_position, primary_eye,
         # gather measured 7.5 ms where a 6-wide f32 one was 1.9), so
         # fetch the per-pixel material id + validity as ONE wide f32
         # row gather from a per-face table (ids < 2^24, exact in f32).
-        face_meta = xp.stack(
-            [mat_index.astype(f32),
-             ((mat_index >= 0) & (mat_index < num_materials)
-              ).astype(f32)], axis=1)                    # [F, 2]
-        rows = face_meta[xp.maximum(tri, 0)]             # [..., 2]
+        # When the refine pass already carried the meta through its
+        # corner gather (primary["aux"], see refine_primary /
+        # gather_face_data), reuse it — the standalone meta gather
+        # regressed to 15 ms/step when XLA stopped fast-memory-staging
+        # its table.
+        if "aux" in primary:
+            rows = primary["aux"]                        # [..., 2]
+        else:
+            face_meta = face_shade_meta(mat_index, num_materials, xp)
+            rows = face_meta[xp.maximum(tri, 0)]         # [..., 2]
         idx = rows[..., 0].astype(xp.int32)
         valid = (tri >= 0) & (rows[..., 1] > 0)
         # gather_rows' custom VJP turns the material-gradient scatter

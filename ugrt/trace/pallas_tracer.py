@@ -42,15 +42,20 @@ Design (v4 — scalar-prefetch window scheduling + in-kernel combine):
     dominant overhead at 1024^2: ~100k-row scatters per pass) are gone.
     The primary kernel emits winner FACE ids directly (face id packed
     as window component 10) so no post-hoc winner-index gather exists.
-  * Heavy faces (huge-footprint geometry, see ugrt.grid.build) are
-    swept by dedicated dense kernels (heavy_primary_sweep /
-    heavy_shadow_sweep): the whole coefficient table stays VMEM-
-    resident, each grid step covers MB ray blocks, and the window loop
-    runs over the LIVE window count (SMEM scalar).  Measured variants
-    that LOST on v5e, kept here as design notes: window axis as a grid
-    dimension (+16 ms — per-step overhead), one fused lax loop with
-    all-MB carries (+17 ms — carry traffic), [MB*128]-tall bodies
-    (+6 ms at MB=2, +11 ms at MB=8).
+  * PRIMARY heavy faces (huge-footprint geometry, see ugrt.grid.build)
+    are swept by a dedicated dense kernel (heavy_primary_sweep): the
+    whole coefficient table stays VMEM-resident, each grid step covers
+    MB ray blocks, and one window loop per step covers the LIVE window
+    count (SMEM scalar).  SHADOW heavy faces instead ride the normal
+    scheduled sweep as appended footprint-box windows
+    (pack_heavy_coeff_windows + make_windows_with_heavy) — every
+    dedicated-kernel loop structure floored at 17-36 ms/step on Mosaic
+    while overhead.  Measured variants that LOST on v5e, kept as design
+    notes: window axis as a grid dimension (+16 ms — per-step
+    overhead), one fused lax loop with all-MB carries (+17 ms — carry
+    traffic), [MB*128]-tall bodies (+6 ms at MB=2, +11 ms at MB=8),
+    per-mb fori with window bitmask conds (17.4 ms), per-group fori
+    over a window range with scratch accumulation (26.6 ms).
 
 PRIMARY operation order inside the block is IDENTICAL to the XLA path's
 moller_trumbore_t (a*b - c*d cross products, inv_det multiply), just
@@ -140,10 +145,14 @@ def pack_tri_windows_coeff(vertices, faces, grid: DeviceGrid, origin,
         v*det = d.(tvec x e1)       = d.c      components 6:9
         t*det = e2.(tvec x e1)      = k        component  9
 
-    component 10 = cell key.  ~40 VPU ops per [win x 128] item instead
-    of ~55 for the direct form.  det/u/v/t equal the direct form as real
-    numbers with different f32 rounding (triple-product reassociation);
-    the shadow decision has a shadow_epsilon = 1e-3 margin, so ulp-level
+    component 10 = cell key; components 11:15 = the triangle's cell
+    FOOTPRINT box (empty (1,0,1,0) for normal pairs — used only by
+    heavy windows, see pack_heavy_coeff_windows; the kernel accepts a
+    candidate when key == ray cell OR the ray's (gx, gy) lies in the
+    box).  ~40 VPU ops per [win x 128] item instead of ~55 for the
+    direct form.  det/u/v/t equal the direct form as real numbers with
+    different f32 rounding (triple-product reassociation); the shadow
+    decision has a shadow_epsilon = 1e-3 margin, so ulp-level
     differences cannot realistically flip a pixel — same documented
     divergence class as ugrt.trace.heavy.  Padding pairs (face -1) zero
     a, so det = 0 rejects them.
@@ -158,32 +167,81 @@ def pack_tri_windows_coeff(vertices, faces, grid: DeviceGrid, origin,
     e2 = fv[:, 2] - v0
     tvec = origin[None, :] - v0
 
-    def cr(p, q):  # cross product [F, 3]
-        return jnp.stack([p[:, 1] * q[:, 2] - p[:, 2] * q[:, 1],
-                          p[:, 2] * q[:, 0] - p[:, 0] * q[:, 2],
-                          p[:, 0] * q[:, 1] - p[:, 1] * q[:, 0]], axis=1)
-
-    a = cr(e2, e1)
-    b = cr(e2, tvec)
-    c = cr(tvec, e1)
+    a = _coeff_cross(e2, e1)
+    b = _coeff_cross(e2, tvec)
+    c = _coeff_cross(tvec, e1)
     k = jnp.sum(e2 * c, axis=1, keepdims=True)
     per_face = jnp.concatenate([a, b, c, k], axis=1)  # [F, 10]
     data = per_face[fidx]                             # [cap, 10]
     data = jnp.where((grid.sorted_faces >= 0)[:, None], data, 0.0)
     key = grid.sorted_keys.astype(jnp.float32)[:, None]
+    empty_box = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32), (cap, 4))
     out = jnp.concatenate(
-        [data, key, jnp.zeros((cap, NCOMP - 11), jnp.float32)], axis=1)
+        [data, key, empty_box,
+         jnp.zeros((cap, NCOMP - 15), jnp.float32)], axis=1)
     pad = -cap % win
     if pad:
         out = jnp.pad(out, ((0, pad), (0, 0)))
+        # Padding rows keep the empty box too (zero-padding would give
+        # the box (0,0,0,0), which CONTAINS cell (0, 0)).
+        idx = jnp.arange(cap + pad) >= cap
+        fix = jnp.zeros((cap + pad, NCOMP), jnp.float32).at[:, 11].set(
+            1.0).at[:, 13].set(1.0)
+        out = jnp.where(idx[:, None], fix, out)
     return out.reshape((cap + pad) // win, win, NCOMP)
+
+
+def _coeff_cross(p, q):  # cross product [F, 3]
+    return jnp.stack([p[:, 1] * q[:, 2] - p[:, 2] * q[:, 1],
+                      p[:, 2] * q[:, 0] - p[:, 0] * q[:, 2],
+                      p[:, 0] * q[:, 1] - p[:, 1] * q[:, 0]], axis=1)
+
+
+def pack_heavy_coeff_windows(co, win: int = WIN):
+    """[NWH, win, 16] HEAVY shadow windows in the pack_tri_windows_coeff
+    layout, appended to the normal window table so the scheduled shadow
+    sweep covers heavy faces too (no dedicated heavy kernel): key
+    (comp 10) = -2 so the cell-key test never matches; the footprint
+    box (comps 11:15) admits exactly the rays whose cell the face's
+    clip footprint covers — the same candidate set the reference's
+    every-cell duplication yields (frustum_grid.h:254).  Apply
+    spatial_reorder_heavy first so each window's box union stays tight
+    for heavy_window_rects scheduling.  Dead slots zero ``a`` (det = 0)
+    and keep the empty box.
+    """
+    H = co.k.shape[0]
+    pad = -H % win
+    live = co.live
+
+    def p3(m):
+        m = jnp.where(live[:, None], m, 0.0)
+        return jnp.pad(m, ((0, pad), (0, 0)))
+
+    k1 = jnp.pad(jnp.where(live, co.k, 0.0), (0, pad))[:, None]
+    box = co.ranges.astype(jnp.float32)
+    empty = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32), box.shape)
+    box = jnp.where(live[:, None], box, empty)
+    box = jnp.pad(box, ((0, pad), (0, 0)))
+    if pad:
+        idx = jnp.arange(H + pad) >= H
+        fix = jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32),
+            (H + pad, 4))
+        box = jnp.where(idx[:, None], fix, box)
+    key = jnp.full((H + pad, 1), -2.0, jnp.float32)
+    out = jnp.concatenate(
+        [p3(co.a), p3(co.b), p3(co.c), k1, key, box,
+         jnp.zeros((H + pad, NCOMP - 15), jnp.float32)], axis=1)
+    return out.reshape((H + pad) // win, win, NCOMP)
 
 
 def make_windows(lo, hi, wcap: int, nwin_blocks: int, win: int = WIN):
     """Expand per-ray-block pair spans [lo, hi) into a flat window list.
 
     lo/hi: [NB] int32 offsets into the sorted pair array.  Returns
-    (win_idx [wcap], win_block [wcap], overflow []): item u covers
+    (win_idx [wcap], win_block [wcap], overflow [], total []): item u covers
     window win_idx[u] of tri_windows for ray block win_block[u].  A
     block with hi <= lo still emits ONE item (key masking rejects all
     its triangles) so its output row gets initialized.  Items are
@@ -204,13 +262,48 @@ def make_windows(lo, hi, wcap: int, nwin_blocks: int, win: int = WIN):
     valid = u < total
     win_idx = jnp.clip(w0[b] + (u - starts[b]), 0, nwin_blocks - 1)
     win_block = jnp.where(valid, b, nb).astype(jnp.int32)
+    # total is returned for DYNAMIC sweep grids: the pallas grid size is
+    # a traced scalar, so the static-capacity padding tail is never
+    # scheduled at all (a skipped-but-scheduled dead item still costs
+    # ~0.35 us of Mosaic step overhead; ~40k of them measured ~15 ms).
     return (jnp.where(valid, win_idx, 0).astype(jnp.int32),
-            win_block, overflow)
+            win_block, overflow,
+            jnp.minimum(total, wcap).astype(jnp.int32))
 
 
-def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref,
+def make_heavy_windows(hlo, hhi, wcap: int, nwin_heavy: int):
+    """Block-major schedule over per-block HEAVY window ranges.
+
+    hlo/hhi: [NB] window ranges from heavy_block_window_range (empty
+    when hlo > hhi).  Unlike make_windows, a block with an empty range
+    emits NO item — callers must mask the output rows of such blocks
+    (their accumulators are never initialized): sh = where(nh > 0, sh,
+    0).  Returns (win_idx [wcap], win_block [wcap], nh [NB],
+    overflow [], total []).  wcap must stay WELL below NB * nwin_heavy:
+    the two schedule arrays are scalar-prefetch operands and SMEM is
+    1 MB (a hard-bound capacity at 16 windows x 8k blocks compiled but
+    exceeded SMEM by 144 bytes at 1024^2).
+    """
+    nb = hlo.shape[0]
+    nh = jnp.clip(hhi - hlo + 1, 0, nwin_heavy)
+    starts = jnp.cumsum(nh) - nh
+    total = starts[-1] + nh[-1]
+    overflow = total > wcap
+
+    u = jnp.arange(wcap, dtype=jnp.int32)
+    b = segment_ids_from_starts(starts, wcap)
+    valid = u < total
+    win_idx = jnp.clip(hlo[b] + (u - starts[b]), 0,
+                       max(nwin_heavy - 1, 0))
+    win_block = jnp.where(valid, b, nb).astype(jnp.int32)
+    return (jnp.where(valid, win_idx, 0).astype(jnp.int32),
+            win_block, nh, overflow,
+            jnp.minimum(total, wcap).astype(jnp.int32))
+
+
+def _primary_kernel(pk_ref, tri_ref, rays_ref,
                     t_out, i_out, *, cfg: RenderConfig, guard: int,
-                    win: int):
+                    win: int, nw: int):
     """One (ray block, tri window) item per grid step, accumulating into
     the ray block's output row.
 
@@ -219,12 +312,11 @@ def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref,
     indexed by ray block (min-t / winner pair index).
     """
     i = pl.program_id(0)
+    blk_i = pk_ref[i] // nw
     # First item of a ray block (items are block-major): init the
-    # accumulator row.  SMEM reads of the prefetched blk array — no
-    # third scalar operand (SMEM is 1 MB; 3 operands at 100k+ items
-    # overflow it).
+    # accumulator row.  SMEM reads of the packed prefetch array.
     first = jnp.where(i == 0, 1,
-                      (blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+                      (blk_i != pk_ref[jnp.maximum(i - 1, 0)] // nw)
                       .astype(jnp.int32))
 
     @pl.when(first == 1)
@@ -235,10 +327,11 @@ def _primary_kernel(win_ref, blk_ref, tri_ref, rays_ref,
     # Static-capacity padding items all target the guard ray block:
     # skip their arithmetic entirely.  The predicate is a pure SMEM
     # scalar (no VMEM data dependency), so it does not serialize the
-    # pipeline the way predicating on the accumulator would.
-    @pl.when(blk_ref[i] != guard)
+    # pipeline the way predicating on the accumulator would.  (With the
+    # dynamic grid they rarely exist at all.)
+    @pl.when(blk_i != guard)
     def _live():
-        _primary_body(win_ref, tri_ref, rays_ref, t_out, i_out, i, cfg,
+        _primary_body(None, tri_ref, rays_ref, t_out, i_out, i, cfg,
                       win)
 
 
@@ -294,8 +387,9 @@ def _primary_body(win_ref, tri_ref, rays_ref, t_out, i_out, i,
     t_out[0, 0] = jnp.where(upd, tmin, cur_t)
 
 
-def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref,
-                   sh_out, *, cfg: RenderConfig, guard: int, win: int):
+def _shadow_kernel(pk_ref, tri_ref, rays_ref,
+                   sh_out, *, cfg: RenderConfig, guard: int, win: int,
+                   nw: int, box: bool = False):
     """Shadow item (mod_light_rckernel analog, light_kernel.cu:120-202),
     accumulating occlusion OR into the ray block's output row.
 
@@ -303,26 +397,34 @@ def _shadow_kernel(win_ref, blk_ref, tri_ref, rays_ref,
     4 cell key.  tvec = light - v0.  Output [1, 1, 128] int32 flags.
     """
     i = pl.program_id(0)
+    blk_i = pk_ref[i] // nw
     first = jnp.where(i == 0, 1,
-                      (blk_ref[i] != blk_ref[jnp.maximum(i - 1, 0)])
+                      (blk_i != pk_ref[jnp.maximum(i - 1, 0)] // nw)
                       .astype(jnp.int32))
 
     @pl.when(first == 1)
     def _init():
         sh_out[0, 0] = jnp.zeros((128,), jnp.int32)
 
-    # Skip the ~30% static-capacity padding items (guard block) via the
-    # SMEM scalar predicate — no VMEM dependency, pipeline-friendly.
-    # (An occlusion-based early exit reading the accumulator was tried
-    # and REGRESSED ~25%: the reduce serializes Mosaic's pipeline.)
-    @pl.when(blk_ref[i] != guard)
+    # Skip padding items (guard block) via the SMEM scalar predicate —
+    # no VMEM dependency, pipeline-friendly.  (An occlusion-based early
+    # exit reading the accumulator was tried and REGRESSED ~25%: the
+    # reduce serializes Mosaic's pipeline.)
+    @pl.when(blk_i != guard)
     def _live():
-        _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i, cfg)
+        _shadow_body(None, tri_ref, rays_ref, sh_out, i, cfg, box)
 
 
 def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
-                 cfg: RenderConfig):
-    """Coefficient-form occlusion test (see pack_tri_windows_coeff)."""
+                 cfg: RenderConfig, box: bool):
+    """Coefficient-form occlusion test (see pack_tri_windows_coeff).
+
+    Candidate admission: cell-key equality (box=False, the normal pair
+    sweep) or the ray's (gx, gy) inside the triangle's footprint box
+    (box=True, the HEAVY window sweep — pack_heavy_coeff_windows) —
+    together the union equals the reference's every-cell heavy
+    duplication (frustum_grid.h:254).
+    """
     del win_ref
 
     def tc(c):
@@ -334,6 +436,7 @@ def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
     dx, dy, dz = rc(0), rc(1), rc(2)
     dist_pt = rc(3)
     ray_cell = rc(4)
+    gx, gy = rc(5), rc(6)
     ax, ay, az = tc(0), tc(1), tc(2)
     bx, by, bz = tc(3), tc(4), tc(5)
     cx, cy, cz = tc(6), tc(7), tc(8)
@@ -346,9 +449,14 @@ def _shadow_body(win_ref, tri_ref, rays_ref, sh_out, i,
     v = (dx * cx + dy * cy + dz * cz) * inv_det
     t = k * inv_det
 
+    if box:
+        miss_cand = ~((gx >= tc(11)) & (gx <= tc(12))
+                      & (gy >= tc(13)) & (gy <= tc(14)))
+    else:
+        miss_cand = tri_key != ray_cell
     reject = ((jnp.abs(det) < jnp.float32(cfg.epsilon))
               | (u < 0) | (u > 1) | (v < 0) | (u + v > 1)
-              | (tri_key != ray_cell))
+              | miss_cand)
     # intersectTri accept: nonzero t below 999999.9
     # (light_kernel.cu:43-47); negative t passes per quirk.
     hit = (~reject) & (t != 0) & (t < jnp.float32(999999.9))
@@ -412,6 +520,88 @@ def pack_heavy_windows(co, win: int = WIN):
     return out.T
 
 
+def spatial_reorder_heavy(co):
+    """Permute heavy coefficients by footprint center (gx-major) so each
+    packed 128-face window's footprint UNION stays tight — the basis of
+    the shadow heavy sweep's per-block window mask.  Dead entries sort
+    last (live count and the per-ray footprint test are unchanged).
+
+    SHADOW ONLY: occlusion combines by OR, which is order-independent.
+    The primary heavy path must keep ascending face order — its
+    cross-window strict-< / in-window min-face combine encodes the
+    reference's (t, face) lex-min tie-break.
+    """
+    cx = (co.ranges[:, 0] + co.ranges[:, 1]) // 2
+    cy = (co.ranges[:, 2] + co.ranges[:, 3]) // 2
+    key = jnp.where(co.live, cx * 1024 + cy, jnp.int32(2**30))
+    perm = jnp.argsort(key)
+
+    def p(x):
+        return x[perm]
+
+    return co._replace(a=p(co.a), b=p(co.b), c=p(co.c), k=p(co.k),
+                       face=p(co.face), live=p(co.live),
+                       ranges=p(co.ranges))
+
+
+def heavy_window_rects(co, win: int = WIN):
+    """Per-window footprint union rects (x0, x1, y0, y1), each [NW].
+
+    Dead/padding faces contribute the empty rect.  Meaningful after
+    spatial_reorder_heavy — with arbitrary face order every window's
+    union approaches the full grid and the mask prunes nothing
+    (measured: windowed-mode light grids average 13%-of-grid footprints
+    per face, so spatially clustered windows stay small)."""
+    H = co.k.shape[0]
+    pad = -H % win
+    big = jnp.int32(10**6)
+    x0 = jnp.where(co.live, co.ranges[:, 0], big)
+    x1 = jnp.where(co.live, co.ranges[:, 1], -1)
+    y0 = jnp.where(co.live, co.ranges[:, 2], big)
+    y1 = jnp.where(co.live, co.ranges[:, 3], -1)
+
+    def pk(x, c, red):
+        x = jnp.pad(x, (0, pad), constant_values=c)
+        return red(x.reshape((H + pad) // win, win), axis=1)
+
+    return (pk(x0, big, jnp.min), pk(x1, -1, jnp.max),
+            pk(y0, big, jnp.min), pk(y1, -1, jnp.max))
+
+
+def heavy_block_window_range(first_cell, last_cell, grid_y: int, rects):
+    """Per-block contiguous window range (w_lo [NB], w_hi [NB]): the
+    windows whose footprint union the block's cell-key interval
+    [first_cell, last_cell] can touch.  Empty range: w_lo > w_hi.
+
+    A sorted 128-ray block covers a CONTIGUOUS cell-key range; as a
+    (gx, gy) rect that is [first//GY, last//GY] x ([first%GY, last%GY]
+    when one row, else all gy).  Conservative: a window outside the
+    range would reject every candidate through the in-kernel footprint
+    test, so skipping it is exact.  Windows packed by
+    spatial_reorder_heavy make the overlap set nearly contiguous;
+    covering its min..max adds only slack windows (whose candidates the
+    footprint test still rejects).  last_cell < 0 marks an all-sentinel
+    block (empty range).
+    """
+    wx0, wx1, wy0, wy1 = rects
+    nw = wx0.shape[0]
+    bx_lo = first_cell // grid_y
+    bx_hi = jnp.maximum(last_cell, 0) // grid_y
+    one_row = bx_lo == bx_hi
+    by_lo = jnp.where(one_row, first_cell % grid_y, 0)
+    by_hi = jnp.where(one_row, jnp.maximum(last_cell, 0) % grid_y,
+                      grid_y - 1)
+    ov = ((bx_lo[:, None] <= wx1[None, :])
+          & (bx_hi[:, None] >= wx0[None, :])
+          & (by_lo[:, None] <= wy1[None, :])
+          & (by_hi[:, None] >= wy0[None, :])
+          & (last_cell >= 0)[:, None])
+    widx = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    w_lo = jnp.min(jnp.where(ov, widx, nw), axis=1).astype(jnp.int32)
+    w_hi = jnp.max(jnp.where(ov, widx, -1), axis=1).astype(jnp.int32)
+    return w_lo, w_hi
+
+
 def _heavy_common(tri_ref, rays, w, cfg):
     """One [128 rays x win tris] heavy window: det/u'/v'/t + footprint.
 
@@ -468,9 +658,7 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
     bitwise-identical) and 25.6 -> 22.9 ms/step in the full-step trace.
     The round-4 variant with all-MB loop CARRIES lost ~17 ms to carry
     traffic — routing the accumulators through the output refs instead
-    is what makes the single-loop form win.  NOTE the SHADOW kernel
-    keeps the per-mb form: with only one small carry it measured FASTER
-    that way (see _heavy_shadow_kernel).  The static capacity's dead
+    is what makes the single-loop form win.  The static capacity's dead
     windows are skipped entirely (live count bounds the loop).
     """
     del nwh  # static bound only pads the table; live windows come in SMEM
@@ -496,50 +684,6 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
         return carry
 
     jax.lax.fori_loop(0, nlive_ref[0], w_body, 0)
-
-
-def _heavy_shadow_kernel(nlive_ref, tri_ref, rays_ref, sh_out, *,
-                         cfg: RenderConfig, nwh: int):
-    """Dense heavy occlusion sweep (heavy_shadowed semantics).
-
-    Ray rows: 0:3 dir, 3 light-to-point distance, 4 cell key (unused
-    here), 5 gx, 6 gy.
-
-    Loop structure: one fori PER MB with a single [128, 1] int32 carry —
-    the opposite choice from _heavy_primary_kernel, because measurement
-    disagreed between the kernels (scripts/micro_heavy_shadow.py at 589
-    live faces: per-mb-fori 24.5 ms vs single-fori/out-ref 38.2 ms,
-    bitwise equal; in-step trace agreed, 22.4 vs 36.2 ms/step).  The
-    primary kernel's single-loop form wins there because its TWO
-    [128, 1] carries double the per-instance while overhead; the shadow
-    kernel's one small carry keeps the per-mb form cheap and preserves
-    Mosaic's DMA/compute pipelining across mb.
-    """
-    del nwh
-    for mb in range(MB):
-        rows = tuple(rays_ref[mb, :, c][:, None]
-                     for c in (0, 1, 2, 3, 5, 6))
-        dx, dy, dz, dist_pt = rows[0], rows[1], rows[2], rows[3]
-        rays = (dx, dy, dz, rows[4], rows[5])
-
-        def w_body(w, acc, rays=rays, dx=dx, dy=dy, dz=dz,
-                   dist_pt=dist_pt):
-            t, reject = _heavy_common(tri_ref, rays, w, cfg)
-            hit = (~reject) & (t != 0) & (t < jnp.float32(999999.9))
-            if not cfg.quirks.shadow_accept_negative_t:
-                hit = hit & (t > 0)
-            ox = t * dx
-            oy = t * dy
-            oz = t * dz
-            dist_occ = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-            sh = hit & (dist_occ + jnp.float32(cfg.shadow_epsilon)
-                        < dist_pt)
-            return jnp.maximum(acc, jnp.max(sh.astype(jnp.int32),
-                                            axis=1)[:, None])
-
-        acc = jax.lax.fori_loop(0, nlive_ref[0], w_body,
-                                jnp.zeros((128, 1), jnp.int32))
-        sh_out[mb] = acc
 
 
 def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_rm,
@@ -604,40 +748,44 @@ def heavy_primary_sweep(heavy_count, tri_windows, rays_rm, *,
         (jnp.float32, jnp.int32), interpret))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def heavy_shadow_sweep(heavy_count, tri_windows, rays_rm, *,
-                       cfg: RenderConfig, interpret: bool = False):
-    """Per-ray heavy occlusion flags [NB, 128] int32.  rays_rm is
-    RAY-MAJOR [NB, 128, 8] (see _heavy_call)."""
-    (sh,) = _heavy_call(
-        functools.partial(_heavy_shadow_kernel, cfg=cfg),
-        heavy_count, tri_windows, rays_rm, (jnp.int32,), interpret)
-    return sh
-
-
 def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
-                out_shapes, interpret: bool):
+                out_shapes, interpret: bool, guard: int | None = None,
+                total=None):
     wcap = win_idx.shape[0]
-    nb1 = rays_blocks.shape[0]  # NB + 1 (guard)
+    nb1 = rays_blocks.shape[0]  # >= NB + 1 (guard; callers may append
+    # extra MB-alignment padding blocks after it — never referenced by
+    # win_block, their output rows are discarded garbage)
     win = tri_windows.shape[1]
-    kernel = functools.partial(kernel_fn, guard=nb1 - 1, win=win)
+    nw = tri_windows.shape[0]
+    if guard is None:
+        guard = nb1 - 1
+    kernel = functools.partial(kernel_fn, guard=guard, win=win, nw=nw)
+    # The (window, block) schedule is PACKED into one int32 per item
+    # (block * NW + window): scalar-prefetch operands live in the 1 MB
+    # SMEM, and two full-capacity arrays per sweep crowded out XLA's
+    # fast-memory staging of unrelated gather tables (the shade meta
+    # gather regressed 1.9 -> 15.3 ms when the heavy sweep's second
+    # schedule array landed) — packing halves the footprint.
+    packed = (win_block * jnp.int32(nw) + win_idx).astype(jnp.int32)
     # Outputs are [NB+1, 1, 128] with block (1, 1, 128) indexed by the
     # item's RAY BLOCK id: consecutive items of one block revisit the
     # same output block, so the combine runs in VMEM and Mosaic writes
     # each row back once.  (3-D because Mosaic requires the block's last
     # two dims to divide (8, 128) or equal the array dims.)
+    # DYNAMIC grid size (traced total from the scheduler): only live
+    # items execute; the capacity tail exists solely as array padding.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(wcap,),
+        num_scalar_prefetch=1,
+        grid=(wcap if total is None else total,),
         in_specs=[
             pl.BlockSpec((1, win, NCOMP),
-                         lambda i, w, blk: (w[i], 0, 0)),
+                         lambda i, pk: (pk[i] % nw, 0, 0)),
             pl.BlockSpec((1, 8, 128),
-                         lambda i, w, blk: (blk[i], 0, 0)),
+                         lambda i, pk: (pk[i] // nw, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 128),
-                         lambda i, w, blk: (blk[i], 0, 0))
+                         lambda i, pk: (pk[i] // nw, 0, 0))
             for _ in out_shapes
         ],
     )
@@ -647,13 +795,16 @@ def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
         out_shape=[jax.ShapeDtypeStruct((nb1, 1, 128), dt)
                    for dt in out_shapes],
         interpret=interpret,
-    )(win_idx, win_block, tri_windows, rays_blocks)
+    )(packed, tri_windows, rays_blocks)
     return [o.reshape(nb1, 128) for o in outs]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def primary_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
-                  cfg: RenderConfig, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "guard"))
+def primary_sweep(tri_windows, rays_blocks, win_idx, win_block,
+                  total=None, *,
+                  cfg: RenderConfig, interpret: bool = False,
+                  guard: int | None = None):
     """Per-ray-block (min t [NB+1, 128], winner FACE id [NB+1, 128]).
 
     Winner = face id ((t, face) lex-min over the block's candidate
@@ -663,15 +814,18 @@ def primary_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
     return tuple(_sweep_call(
         functools.partial(_primary_kernel, cfg=cfg),
         tri_windows, rays_blocks, win_idx, win_block,
-        (jnp.float32, jnp.int32), interpret))
+        (jnp.float32, jnp.int32), interpret, guard, total))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def shadow_sweep(tri_windows, rays_blocks, win_idx, win_block, *,
-                 cfg: RenderConfig, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "guard", "box"))
+def shadow_sweep(tri_windows, rays_blocks, win_idx, win_block,
+                 total=None, *,
+                 cfg: RenderConfig, interpret: bool = False,
+                 guard: int | None = None, box: bool = False):
     """Per-ray-block shadow flags [NB+1, 128] int32 (row NB = guard)."""
     (sh,) = _sweep_call(
-        functools.partial(_shadow_kernel, cfg=cfg),
+        functools.partial(_shadow_kernel, cfg=cfg, box=box),
         tri_windows, rays_blocks, win_idx, win_block,
-        (jnp.int32,), interpret)
+        (jnp.int32,), interpret, guard, total)
     return sh

@@ -269,10 +269,15 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
             gy_t.reshape(NBp, 2)[:, :, None], (NBp, 2, R)
         ).reshape(NBp, 2 * R, 1)
         zeros2 = jnp.zeros((NBp, 2 * R, 2), jnp.float32)
+        # Guard block at index NBp, then zero blocks up to the heavy
+        # kernels' MB grouping so _heavy_call never pads (a separate
+        # [NB, 128, 8] pad op costs ~1.6 ms at 1024^2).  Neither the
+        # guard nor the zero blocks can hit: zero dirs give det = 0.
+        align_pad = -(NBp + 1) % pt.MB
         guard_rm = jnp.concatenate(
-            [jnp.zeros((1, 2 * R, 3), jnp.float32),
-             jnp.full((1, 2 * R, 3), -1.0, jnp.float32),
-             jnp.zeros((1, 2 * R, 2), jnp.float32)], axis=2)
+            [jnp.zeros((1 + align_pad, 2 * R, 3), jnp.float32),
+             jnp.full((1 + align_pad, 2 * R, 3), -1.0, jnp.float32),
+             jnp.zeros((1 + align_pad, 2 * R, 2), jnp.float32)], axis=2)
 
         t_slabs = []
         f_slabs = []
@@ -289,12 +294,14 @@ def trace_primary(vertices, faces, camcoords, grid: DeviceGrid,
             k2 = c0 + (2 * blocks2 + 1) * NS + s
             lo = grid.cell_offset[k1]
             hi = grid.cell_offset[k2] + grid.cell_count[k2]
-            win_idx, win_blk, _ = pt.make_windows(lo, hi, wcap_p, NW)
+            win_idx, win_blk, _, total = pt.make_windows(lo, hi,
+                                                         wcap_p, NW)
             # The kernel combines across windows in-place (v4): outputs
             # are already per-ray-block min-t / winner pair index.
+            # Dynamic grid (total): only live items run.
             t_blk, p_blk = pt.primary_sweep(
-                tri_w, rays_b, win_idx, win_blk, cfg=cfg,
-                interpret=interpret)
+                tri_w, rays_b, win_idx, win_blk, total, cfg=cfg,
+                interpret=interpret, guard=NBp)
             t_slabs.append(t_blk[:NBp].reshape(num_tiles, R))
             f_slabs.append(p_blk[:NBp].reshape(num_tiles, R))
         t_cell = jnp.stack(t_slabs, axis=1)      # [num_tiles, NS, R]

@@ -29,14 +29,20 @@ from ugrt.core.vecmath import cross, dot, normalize
 
 
 def refine_primary(vertices, faces, camcoords, primary_raw,
-                   cfg: RenderConfig):
+                   cfg: RenderConfig, face_aux=None):
     """Recompute (t, normal, u, v) differentiably at the winning faces.
 
     primary_raw: output of trace_primary (face_id decides everything; its
     t is discarded and recomputed so gradients attach).  Misses keep the
     reference sentinels (t=-1, normal=-1).
+
+    face_aux: optional [F, A] f32 per-face metadata (e.g. the shading
+    material id + validity): gathered to pixels THROUGH THE SAME row
+    gather as the corners (gather_face_data) and returned as "aux"
+    [H, W, A] — the downstream shade then needs no per-pixel face
+    gather of its own.
     """
-    from ugrt.diff.fastgrad import gather_face_corners
+    from ugrt.diff.fastgrad import gather_face_corners, gather_face_data
 
     fid = jax.lax.stop_gradient(primary_raw["face_id"])
     dirs = jax.lax.stop_gradient(primary_raw["ray_dir"])
@@ -52,8 +58,14 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
     # computing at [H, W, 3, 3] made XLA materialize ~6.5 ms/step of
     # 4-D layout copies around the gather.
     H, W = fid.shape
-    v = gather_face_corners(vertices, faces,
-                            jnp.clip(fid, 0, None).reshape(-1))
+    aux = None
+    if face_aux is not None:
+        v, aux = gather_face_data(vertices, faces, face_aux,
+                                  jnp.clip(fid, 0, None).reshape(-1))
+        aux = aux.reshape((H, W) + face_aux.shape[1:])
+    else:
+        v = gather_face_corners(vertices, faces,
+                                jnp.clip(fid, 0, None).reshape(-1))
     dflat = dirs.reshape(H * W, 3)
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
@@ -77,5 +89,8 @@ def refine_primary(vertices, faces, camcoords, primary_raw,
 
     t = jnp.where(hit, t.reshape(H, W), jnp.float32(-1.0))
     n = jnp.where(hit[..., None], n.reshape(H, W, 3), jnp.float32(-1.0))
-    return dict(t=t, face_id=fid, normal=n, ray_dir=dirs,
-                u=u.reshape(H, W), v=vv.reshape(H, W))
+    out = dict(t=t, face_id=fid, normal=n, ray_dir=dirs,
+               u=u.reshape(H, W), v=vv.reshape(H, W))
+    if aux is not None:
+        out["aux"] = aux
+    return out

@@ -56,11 +56,26 @@ def reflect_directions(primary, xp=jnp):
 def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
                       active, exclude_face, aabb_min, aabb_max,
                       grid_dims, cfg: RenderConfig, *,
-                      max_batches: int = 4, eps: float = 1e-4):
+                      max_batches: int = 4, eps: float = 1e-4,
+                      chunk_rays: int = 65536):
     """Trace rays through a uniform grid with 3-D DDA.
 
     origins/dirs: [N, 3] float32; active: [N] bool; exclude_face: [N]
     int32 face to ignore (self-hit).  Returns dict(t [N], face_id [N]).
+
+    TPU structure (round 5; results identical to the round-4 dense
+    lax.scan, which ran EVERY ray for gx+gy+gz steps x max_batches
+    gathers — ~30 s/frame at 1024^2):
+      * rays process in ``chunk_rays`` chunks (lax.map) with a
+        lax.while_loop per chunk — a chunk stops as soon as all its
+        rays resolved, and pixel-order chunks are spatially coherent so
+        their reflection paths finish together (interior scenes:
+        median path is a few cells, the scan bound is 3*grid_dim);
+      * triangle batches beyond the first run under lax.cond, entered
+        only when some live ray's cell actually has > b*B triangles;
+      * corner fetch is one row gather from a per-face [F, 9] table
+        (v0, e1, e2) instead of the two-level vertices[faces[...]]
+        gather (row gathers cost per ROW on TPU).
     """
     gx, gy, gz = grid_dims
     lo = jnp.asarray(aabb_min, dtype=jnp.float32)
@@ -70,95 +85,137 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
     cell_size = (hi - lo) / dims_f
     n = origins.shape[0]
 
-    # Clip ray entry to the AABB (slab test).
-    inv_d = 1.0 / jnp.where(jnp.abs(dirs) < 1e-20,
-                            jnp.float32(1e-20), dirs)
-    t1 = (lo[None] - origins) * inv_d
-    t2 = (hi[None] - origins) * inv_d
-    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    t_enter = jnp.maximum(t_near, 0.0) + eps
-    inside = (t_far > t_enter) & active
-
-    p0 = origins + t_enter[:, None] * dirs
-    cell = jnp.clip(((p0 - lo[None]) / cell_size[None]).astype(jnp.int32),
-                    0, dims_i[None] - 1)
-
-    step = jnp.where(dirs >= 0, 1, -1).astype(jnp.int32)
-    next_bound = lo[None] + (cell + (step > 0)).astype(jnp.float32) \
-        * cell_size[None]
-    t_max = (next_bound - origins) * inv_d            # [N, 3]
-    t_delta = jnp.abs(cell_size[None] * inv_d)
+    # Per-face corner table (v0, e1, e2) — one gather per face, reused
+    # by every (ray, batch) row gather below.
+    fv = vertices[faces]                                  # [F, 3, 3]
+    ftab = jnp.concatenate(
+        [fv[:, 0], fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]], axis=1)
 
     B = cfg.tri_batch
     lane = jnp.arange(B, dtype=jnp.int32)
-
-    def test_cell(cell_idx, alive, best_t, best_f, t_exit):
-        """Test the triangles of each ray's current cell."""
-        cid = (cell_idx[:, 0] * gy + cell_idx[:, 1]) * gz + cell_idx[:, 2]
-        cid = jnp.clip(cid, 0, gx * gy * gz - 1)
-        cnt = grid.cell_count[cid]
-        off = grid.cell_offset[cid]
-
-        bt, bf = best_t, best_f
-        for b in range(max_batches):
-            base = off + b * B
-            idx = jnp.clip(base[:, None] + lane[None, :], 0,
-                           grid.sorted_faces.shape[0] - 1)
-            fidx = jnp.clip(grid.sorted_faces[idx], 0, faces.shape[0] - 1)
-            live = (lane[None, :] + b * B) < cnt[:, None]
-
-            v = vertices[faces[fidx]]                # [N, B, 3, 3]
-            v0 = v[:, :, 0]
-            e1 = v[:, :, 1] - v0
-            e2 = v[:, :, 2] - v0
-            tvec = origins[:, None, :] - v0
-            t = moller_trumbore_t(tvec, e1, e2, dirs[:, None, :], cfg,
-                                  abs_t=False)[:, 0, :]   # [N, B]
-            bad = (~live | (t <= eps)
-                   | (fidx == exclude_face[:, None]))
-            t = jnp.where(bad, _BIG, t)
-            k = jnp.argmin(t, axis=-1)
-            tmin = jnp.min(t, axis=-1)
-            upd = alive & (tmin < bt)
-            bt = jnp.where(upd, tmin, bt)
-            bf = jnp.where(upd, fidx[jnp.arange(n), k], bf)
-        overflow_c = jnp.any(cnt > max_batches * B)
-        return bt, bf, overflow_c
-
     max_steps = gx + gy + gz
 
-    def body(carry, _):
-        cell_c, t_max_c, alive, best_t, best_f, ovf = carry
-        t_exit = jnp.min(t_max_c, axis=-1)
-        bt, bf, o = test_cell(cell_c, alive, best_t, best_f, t_exit)
-        # Accept only hits inside the current cell; others may be
-        # superseded in nearer cells later, but since DDA visits cells in
-        # increasing t order, keeping the min is already correct — a ray
-        # finishes when its best hit lies before the exit of the current
-        # cell.
-        done = bt <= t_exit + eps
-        alive = alive & ~done
+    def chunk_fn(args):
+        origins_c, dirs_c, active_c, excl_c = args
+        m = origins_c.shape[0]
 
-        axis = jnp.argmin(t_max_c, axis=-1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        cell_n = cell_c + onehot * step
-        t_max_n = t_max_c + onehot.astype(jnp.float32) * t_delta
-        out = ((cell_n < 0) | (cell_n >= dims_i[None])).any(axis=-1)
-        alive = alive & ~out
-        cell_n = jnp.clip(cell_n, 0, dims_i[None] - 1)
-        return (cell_n, t_max_n, alive, bt, bf, ovf | o), None
+        # Clip ray entry to the AABB (slab test).
+        inv_d = 1.0 / jnp.where(jnp.abs(dirs_c) < 1e-20,
+                                jnp.float32(1e-20), dirs_c)
+        t1 = (lo[None] - origins_c) * inv_d
+        t2 = (hi[None] - origins_c) * inv_d
+        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        t_enter = jnp.maximum(t_near, 0.0) + eps
+        inside = (t_far > t_enter) & active_c
 
-    init = (cell, t_max, inside,
-            jnp.full((n,), _BIG), jnp.full((n,), -2, dtype=jnp.int32),
-            jnp.zeros((), dtype=jnp.bool_))
-    (cell, t_max, alive, best_t, best_f, ovf), _ = jax.lax.scan(
-        body, init, None, length=max_steps)
+        p0 = origins_c + t_enter[:, None] * dirs_c
+        cell = jnp.clip(
+            ((p0 - lo[None]) / cell_size[None]).astype(jnp.int32),
+            0, dims_i[None] - 1)
+
+        step = jnp.where(dirs_c >= 0, 1, -1).astype(jnp.int32)
+        next_bound = lo[None] + (cell + (step > 0)).astype(jnp.float32) \
+            * cell_size[None]
+        t_max = (next_bound - origins_c) * inv_d          # [m, 3]
+        t_delta = jnp.abs(cell_size[None] * inv_d)
+
+        def test_cell(cell_idx, alive, best_t, best_f):
+            cid = ((cell_idx[:, 0] * gy + cell_idx[:, 1]) * gz
+                   + cell_idx[:, 2])
+            cid = jnp.clip(cid, 0, gx * gy * gz - 1)
+            cnt = jnp.where(alive, grid.cell_count[cid], 0)
+            off = grid.cell_offset[cid]
+
+            def batch_body(b, bt, bf):
+                base = off + b * B
+                idx = jnp.clip(base[:, None] + lane[None, :], 0,
+                               grid.sorted_faces.shape[0] - 1)
+                fidx = jnp.clip(grid.sorted_faces[idx], 0,
+                                faces.shape[0] - 1)
+                live = (lane[None, :] + b * B) < cnt[:, None]
+
+                rowsv = ftab[fidx]                    # [m, B, 9]
+                v0 = rowsv[..., 0:3]
+                e1 = rowsv[..., 3:6]
+                e2 = rowsv[..., 6:9]
+                tvec = origins_c[:, None, :] - v0
+                t = moller_trumbore_t(tvec, e1, e2, dirs_c[:, None, :],
+                                      cfg, abs_t=False)[:, 0, :]  # [m, B]
+                bad = (~live | (t <= eps)
+                       | (fidx == excl_c[:, None]))
+                t = jnp.where(bad, _BIG, t)
+                k = jnp.argmin(t, axis=-1)
+                tmin = jnp.min(t, axis=-1)
+                upd = alive & (tmin < bt)
+                bt = jnp.where(upd, tmin, bt)
+                bf = jnp.where(upd, fidx[jnp.arange(m), k], bf)
+                return bt, bf
+
+            # Batch 0 runs whenever the chunk is live at all; deeper
+            # batches only when some live cell actually needs them
+            # (uniform-grid cells average ~10-30 triangles; deep cells
+            # are rare enough that the cond rarely fires).
+            bt, bf = batch_body(0, best_t, best_f)
+            for b in range(1, max_batches):
+                need = jnp.any(alive & (cnt > b * B))
+                bt, bf = jax.lax.cond(
+                    need,
+                    lambda args, b=b: batch_body(b, args[0], args[1]),
+                    lambda args: args,
+                    (bt, bf))
+            overflow_c = jnp.any(cnt > max_batches * B)
+            return bt, bf, overflow_c
+
+        def cond_fn(carry):
+            i, cell_c, t_max_c, alive, best_t, best_f, ovf = carry
+            return (i < max_steps) & jnp.any(alive)
+
+        def body_fn(carry):
+            i, cell_c, t_max_c, alive, best_t, best_f, ovf = carry
+            t_exit = jnp.min(t_max_c, axis=-1)
+            bt, bf, o = test_cell(cell_c, alive, best_t, best_f)
+            # DDA visits cells in increasing t order, so keeping the
+            # min is correct; a ray finishes when its best hit lies
+            # before the exit of the current cell.
+            done = bt <= t_exit + eps
+            alive = alive & ~done
+
+            axis = jnp.argmin(t_max_c, axis=-1)
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            cell_n = cell_c + onehot * step
+            t_max_n = t_max_c + onehot.astype(jnp.float32) * t_delta
+            out = ((cell_n < 0) | (cell_n >= dims_i[None])).any(axis=-1)
+            alive = alive & ~out
+            cell_n = jnp.clip(cell_n, 0, dims_i[None] - 1)
+            return (i + 1, cell_n, t_max_n, alive, bt, bf, ovf | o)
+
+        init = (jnp.int32(0), cell, t_max, inside,
+                jnp.full((m,), _BIG), jnp.full((m,), -2, dtype=jnp.int32),
+                jnp.zeros((), dtype=jnp.bool_))
+        _, _, _, _, best_t, best_f, ovf = jax.lax.while_loop(
+            cond_fn, body_fn, init)
+        return best_t, best_f, ovf
+
+    nc = -(-n // chunk_rays)
+    pad = nc * chunk_rays - n
+
+    def padn(x, cval=0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=cval)
+
+    xs = (padn(origins).reshape(nc, chunk_rays, 3),
+          padn(dirs).reshape(nc, chunk_rays, 3),
+          padn(active, False).reshape(nc, chunk_rays),
+          padn(exclude_face).reshape(nc, chunk_rays))
+    best_t, best_f, ovf = jax.lax.map(chunk_fn, xs)
+    best_t = best_t.reshape(-1)[:n]
+    best_f = best_f.reshape(-1)[:n]
 
     hit = best_t < _BIG
     return dict(t=jnp.where(hit, best_t, jnp.float32(-1.0)),
                 face_id=jnp.where(hit, best_f, -2),
-                overflow=ovf)
+                overflow=jnp.any(ovf))
 
 
 def reflection_pass(vertices, faces, primary_refined, uniform_grid,

@@ -321,30 +321,29 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         sh_h = theavy.heavy_shadowed(co, dirs0, dist0, gx_r, gy_r, cfg)
         shadow_heavy = jnp.where(cells < sentinel, sh_h, 0)
 
+    # Sort rays by light cell with the hit point riding as radix-sort
+    # PAYLOAD columns (round 5): building shadow rows in original order
+    # and gathering them through the permutation emitted a transposed-
+    # layout [N, 4] gather XLA runs at 4.6 ms/step at 1024^2; payload
+    # columns add ~1 ms to the sort and the (dir, dist) math runs on
+    # the sorted values — elementwise ops commute with the permutation
+    # bitwise, so results are unchanged.
     ray_ids = jnp.arange(n, dtype=jnp.int32)
-    sorted_cells, sorted_ray = jax.lax.sort((cells, ray_ids), num_keys=1)
+    (sorted_cells, sorted_ray, spx, spy, spz) = jax.lax.sort(
+        (cells, ray_ids, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1)
 
-    # Pad the sorted stream to a whole number of blocks with sentinel rays.
+    # Pad the sorted stream to a whole number of blocks with sentinel
+    # rays (masked everywhere by the cell-equality test).
     n_pad = -(-n // R) * R
     NB = n_pad // R
     scells = jnp.pad(sorted_cells, (0, n_pad - n),
                      constant_values=sentinel)
-
-    # Per-ray shadow data: compute (dir, dist) in ORIGINAL ray order —
-    # pure elementwise on pts, fused by XLA into the upstream chain —
-    # then ONE 4-wide row gather through the permutation (round 5: the
-    # previous pts[sorted_ray] 3-wide gather materialized into a
-    # transposed T(4,128) layout, 4.6 ms/step at 1024^2; gather commutes
-    # with elementwise ops bitwise, so results are unchanged).  Padding
-    # rays carry the sentinel cell and are masked everywhere by the
-    # cell-equality test.
-    delta0 = pts - L[None]
-    dist0 = jnp.sqrt(dot(delta0, delta0))
-    dirs0 = normalize(delta0, xp=jnp)
-    rows0 = jnp.concatenate([dirs0, dist0[:, None]], axis=1)  # [N, 4]
-    srows = jnp.pad(rows0[sorted_ray], ((0, n_pad - n), (0, 0)))
-    dist_pt = srows[:, 3]
-    sh_dirs = srows[:, 0:3]
+    spts = jnp.stack([spx, spy, spz], axis=1)             # [N, 3]
+    delta = spts - L[None]
+    dist_pt = jnp.pad(jnp.sqrt(dot(delta, delta)), (0, n_pad - n))
+    sh_dirs = jnp.pad(normalize(delta, xp=jnp),
+                      ((0, n_pad - n), (0, 0)))
+    srows = jnp.concatenate([sh_dirs, dist_pt[:, None]], axis=1)
 
     if backend == "pallas":
         # v3 window scheduler (ugrt.trace.pallas_tracer): work item =
@@ -363,6 +362,26 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         tri_w = pt.pack_tri_windows_coeff(vertices, faces, light_grid, L,
                                           win=SWIN)
         NW = tri_w.shape[0]
+        # Heavy faces run as a SECOND scheduled sweep over FINE
+        # (64-wide) footprint-box windows — round 5: the dedicated
+        # heavy kernels' Mosaic while-loop structures floored at
+        # ~17-27 ms/step at 1024^2, and appending heavy windows to the
+        # 256-wide normal table cost ~27 ms (4 windows have no spatial
+        # selectivity); 64-face spatially-sorted windows keep each
+        # block's conservative window range at ~1-2, so the scheduled
+        # item count tracks the ~13%-of-grid footprint average.
+        HWIN = 64
+        NWH = 0
+        tri_hw = None
+        if use_heavy:
+            from ugrt.trace import heavy as theavy
+
+            co = theavy.heavy_coeffs(
+                vertices, faces, light_grid.heavy_faces,
+                light_grid.heavy_count, L, light_grid.heavy_ranges)
+            co = pt.spatial_reorder_heavy(co)
+            tri_hw = pt.pack_heavy_coeff_windows(co, win=HWIN)
+            NWH = tri_hw.shape[0]
         if work_capacity is None:
             # A block's window cover is its span's windows; blocks inside
             # a ray-heavy cell each re-cover that cell's whole list, so
@@ -393,10 +412,15 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         srows_b = srows.reshape(NB, R, 4)
         gxcol = (scell_blk // cfg.grid_y).astype(jnp.float32)[:, :, None]
         gycol = (scell_blk % cfg.grid_y).astype(jnp.float32)[:, :, None]
+        # Guard block at index NB, then zero blocks up to the heavy
+        # kernel's MB grouping so _heavy_call never pads (a separate
+        # [NB, 128, 8] pad op costs ~1.6 ms at 1024^2); none can hit
+        # (zero dirs give det = 0) and their window ranges are empty.
+        align_pad = -(NB + 1) % pt.MB
         guard_rm = jnp.concatenate(
-            [jnp.zeros((1, R, 4), jnp.float32),
-             jnp.full((1, R, 3), -1.0, jnp.float32),
-             jnp.zeros((1, R, 1), jnp.float32)], axis=2)
+            [jnp.zeros((1 + align_pad, R, 4), jnp.float32),
+             jnp.full((1 + align_pad, R, 3), -1.0, jnp.float32),
+             jnp.zeros((1 + align_pad, R, 1), jnp.float32)], axis=2)
 
         shadow_blocks = jnp.zeros((NB, R), dtype=jnp.int32)
         overflow = jnp.asarray(False)
@@ -419,13 +443,15 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             live = last_real >= 0
             lo = jnp.where(live, lo, 0)
             hi = jnp.where(live, hi, 0)
-            win_idx, win_blk, ovf = pt.make_windows(lo, hi, wcap, NW,
-                                                    win=SWIN)
+            win_idx, win_blk, ovf, total = pt.make_windows(
+                lo, hi, wcap, NW, win=SWIN)
             overflow = overflow | ovf
             # v4 kernel: occlusion OR accumulates in-kernel per ray
-            # block; output is already [NB+1, R].
+            # block; output is already [NB+1, R].  Dynamic grid (total):
+            # only live items run.
             sh_blk = pt.shadow_sweep(tri_w, rays_b, win_idx, win_blk,
-                                     cfg=cfg, interpret=interpret)
+                                     total, cfg=cfg, interpret=interpret,
+                                     guard=NB)
             # Under work-capacity overflow, truncated blocks' output rows
             # are never initialized (uninitialized HBM, not merely
             # missing occlusion) — force a defined value so callers that
@@ -434,18 +460,26 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             shadow_blocks = jnp.maximum(shadow_blocks, sh_blk[:NB])
 
         if use_heavy:
-            # VMEM-resident heavy occlusion over the sorted blocks
-            # (bitwise-equal to heavy_shadowed — same op order).
-            from ugrt.trace import heavy as theavy
-
-            co = theavy.heavy_coeffs(
-                vertices, faces, light_grid.heavy_faces,
-                light_grid.heavy_count, L, light_grid.heavy_ranges)
-            tri_hw = pt.pack_heavy_windows(co)
-            sh_hb = pt.heavy_shadow_sweep(light_grid.heavy_count, tri_hw,
-                                          rows_rm, cfg=cfg,
-                                          interpret=interpret)
-            shadow_blocks = jnp.maximum(shadow_blocks, sh_hb[:NB])
+            # Fine-grained heavy sweep: per-block window ranges from
+            # the spatially-packed windows' footprint unions; blocks
+            # with an empty range emit no item (their output rows are
+            # masked below — make_heavy_windows contract).
+            rects = pt.heavy_window_rects(co, win=HWIN)
+            hlo, hhi = pt.heavy_block_window_range(
+                first_cell, last_real, cfg.grid_y, rects)
+            # 3x avg windows/block capacity (measured ~1-2 on the
+            # flagship; the schedule arrays live in 1 MB SMEM, so the
+            # NWH*NB hard bound does not fit) — overflow-guarded.
+            hw_idx, hw_blk, nh, h_ovf, h_total = pt.make_heavy_windows(
+                hlo, hhi, 3 * NB + 256, NWH)
+            overflow = overflow | h_ovf
+            sh_hb = pt.shadow_sweep(tri_hw, rays_b, hw_idx, hw_blk,
+                                    h_total, cfg=cfg,
+                                    interpret=interpret, guard=NB,
+                                    box=True)
+            sh_hb = jnp.where((nh[:, None] > 0) & ~h_ovf,
+                              sh_hb[:NB], 0)
+            shadow_blocks = jnp.maximum(shadow_blocks, sh_hb)
 
         shadowed = _unpermute(shadow_blocks.reshape(n_pad)[:n],
                               sorted_ray)
