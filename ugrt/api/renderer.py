@@ -67,9 +67,11 @@ def render_frame_device(vertices, faces, mat_index, materials,
 
     shade_cc = camcoords
     mode = cfg.light_grid_mode
-    # "windowed" spreads geometry over the full grid (pairs stay
-    # near the reference level); "extent" clamp-bloats edge cells
-    # and needs headroom.  Overflow-flag guarded either way.
+    # "windowed" spreads geometry over the full grid: measured pair
+    # counts are 0.65x capacity at 74k faces and 0.80x at 51k on the
+    # flagship interior scenes (ADVICE r4 #4), so the 1x budget holds
+    # with >=20% slack; "extent" clamp-bloats edge cells and needs
+    # headroom.  Overflow-flag guarded either way.
     lcap = 2 * capacity if mode == "extent" else capacity
     for li in range(num_lights):
         lcc = light_camcoords[li]
@@ -108,16 +110,17 @@ def render_frame_device(vertices, faces, mat_index, materials,
     jax.jit,
     static_argnames=("cfg", "capacity", "num_lights", "use_spot",
                      "uniform_dims", "uniform_capacity", "reflectivity",
-                     "chunk_size", "max_batches"))
+                     "chunk_size", "max_batches", "reflect_batch"))
 def render_frame_reflective(vertices, faces, mat_index, materials,
                             camcoords, light_camcoords, light_position, *,
                             cfg: RenderConfig, capacity: int,
                             num_lights: int, use_spot: bool,
                             uniform_dims: tuple = (32, 32, 32),
-                            uniform_capacity: int = 1 << 18,
+                            uniform_capacity: int = 1 << 20,
                             reflectivity: float = 0.3,
                             chunk_size: int = 256,
-                            max_batches: int = 4):
+                            max_batches: int = 8,
+                            reflect_batch: int = 32):
     """BASELINE config 4: 2-level trace with a uniform-grid reflection
     bounce (the capability the reference's dead UniformGrid intended,
     uniform_grid.h:11-59 / README.md:1).
@@ -155,7 +158,7 @@ def render_frame_reflective(vertices, faces, mat_index, materials,
 
     refl = treflect.reflection_pass(
         vertices, faces, prim_signed, ugrid, lo, hi, uniform_dims, cfg,
-        eye, max_batches=max_batches)
+        eye, max_batches=max_batches, batch=reflect_batch)
 
     # Shade reflection hits with the Lambert model (flat normals of the
     # reflection hit face), lit from light_position.

@@ -57,7 +57,8 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
                       active, exclude_face, aabb_min, aabb_max,
                       grid_dims, cfg: RenderConfig, *,
                       max_batches: int = 4, eps: float = 1e-4,
-                      chunk_rays: int = 65536):
+                      chunk_rays: int = 65536, batch: int | None = None,
+                      skip_k: int = 6):
     """Trace rays through a uniform grid with 3-D DDA.
 
     origins/dirs: [N, 3] float32; active: [N] bool; exclude_face: [N]
@@ -65,7 +66,7 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
 
     TPU structure (round 5; results identical to the round-4 dense
     lax.scan, which ran EVERY ray for gx+gy+gz steps x max_batches
-    gathers — ~30 s/frame at 1024^2):
+    gathers):
       * rays process in ``chunk_rays`` chunks (lax.map) with a
         lax.while_loop per chunk — a chunk stops as soon as all its
         rays resolved, and pixel-order chunks are spatially coherent so
@@ -75,7 +76,17 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
         only when some live ray's cell actually has > b*B triangles;
       * corner fetch is one row gather from a per-face [F, 9] table
         (v0, e1, e2) instead of the two-level vertices[faces[...]]
-        gather (row gathers cost per ROW on TPU).
+        gather (row gathers cost per ROW on TPU);
+      * EMPTY-CELL SKIPPING: each step first advances rays through up
+        to ``skip_k`` empty cells (a 1-wide cell-count gather + the
+        elementwise DDA advance, ~0.2 ms per sub-step at 64k rays) —
+        interior uniform grids are ~80% empty, and without the skip
+        every empty cell costs a full triangle-batch sweep (measured
+        54 s/frame at 1024^2 / 75k tris; with skipping + batch=32 the
+        same frame is several times faster);
+      * ``batch`` (default cfg.tri_batch) sets the triangle batch
+        width — uniform-grid cells average ~10-30 triangles, so 32
+        halves the dominant gather volume vs the tracer's 64.
     """
     gx, gy, gz = grid_dims
     lo = jnp.asarray(aabb_min, dtype=jnp.float32)
@@ -91,7 +102,7 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
     ftab = jnp.concatenate(
         [fv[:, 0], fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]], axis=1)
 
-    B = cfg.tri_batch
+    B = batch if batch is not None else cfg.tri_batch
     lane = jnp.arange(B, dtype=jnp.int32)
     max_steps = gx + gy + gz
 
@@ -167,12 +178,40 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
             overflow_c = jnp.any(cnt > max_batches * B)
             return bt, bf, overflow_c
 
+        def dda_advance(cell_c, t_max_c, alive, move):
+            """One DDA step for rays in ``move``; returns new state."""
+            axis = jnp.argmin(t_max_c, axis=-1)
+            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+            cell_n = cell_c + onehot * step
+            t_max_n = t_max_c + onehot.astype(jnp.float32) * t_delta
+            out = ((cell_n < 0) | (cell_n >= dims_i[None])).any(axis=-1)
+            cell_n = jnp.clip(cell_n, 0, dims_i[None] - 1)
+            cell_c = jnp.where(move[:, None], cell_n, cell_c)
+            t_max_c = jnp.where(move[:, None], t_max_n, t_max_c)
+            alive = alive & ~(move & out)
+            return cell_c, t_max_c, alive
+
         def cond_fn(carry):
             i, cell_c, t_max_c, alive, best_t, best_f, ovf = carry
             return (i < max_steps) & jnp.any(alive)
 
         def body_fn(carry):
             i, cell_c, t_max_c, alive, best_t, best_f, ovf = carry
+
+            # Empty-space skipping: advance rays sitting in empty cells
+            # (nothing to test there) up to skip_k cells before the
+            # triangle sweep.
+            def skip_body(_, st):
+                cell_s, t_max_s, alive_s = st
+                cid = ((cell_s[:, 0] * gy + cell_s[:, 1]) * gz
+                       + cell_s[:, 2])
+                cid = jnp.clip(cid, 0, gx * gy * gz - 1)
+                empty = alive_s & (grid.cell_count[cid] == 0)
+                return dda_advance(cell_s, t_max_s, alive_s, empty)
+
+            cell_c, t_max_c, alive = jax.lax.fori_loop(
+                0, skip_k, skip_body, (cell_c, t_max_c, alive))
+
             t_exit = jnp.min(t_max_c, axis=-1)
             bt, bf, o = test_cell(cell_c, alive, best_t, best_f)
             # DDA visits cells in increasing t order, so keeping the
@@ -180,15 +219,9 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
             # before the exit of the current cell.
             done = bt <= t_exit + eps
             alive = alive & ~done
-
-            axis = jnp.argmin(t_max_c, axis=-1)
-            onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-            cell_n = cell_c + onehot * step
-            t_max_n = t_max_c + onehot.astype(jnp.float32) * t_delta
-            out = ((cell_n < 0) | (cell_n >= dims_i[None])).any(axis=-1)
-            alive = alive & ~out
-            cell_n = jnp.clip(cell_n, 0, dims_i[None] - 1)
-            return (i + 1, cell_n, t_max_n, alive, bt, bf, ovf | o)
+            cell_c, t_max_c, alive = dda_advance(cell_c, t_max_c, alive,
+                                                 alive)
+            return (i + 1, cell_c, t_max_c, alive, bt, bf, ovf | o)
 
         init = (jnp.int32(0), cell, t_max, inside,
                 jnp.full((m,), _BIG), jnp.full((m,), -2, dtype=jnp.int32),
@@ -220,7 +253,8 @@ def trace_uniform_dda(vertices, faces, grid: DeviceGrid, origins, dirs,
 
 def reflection_pass(vertices, faces, primary_refined, uniform_grid,
                     aabb_min, aabb_max, grid_dims, cfg: RenderConfig,
-                    primary_eye, *, max_batches: int = 4):
+                    primary_eye, *, max_batches: int = 4,
+                    batch: int | None = None):
     """Second-level trace: reflect primary hits, trace the uniform grid.
 
     Returns per-pixel dict(t, face_id, ray_dir, origin) of the reflection
@@ -240,7 +274,7 @@ def reflection_pass(vertices, faces, primary_refined, uniform_grid,
     res = trace_uniform_dda(
         vertices, faces, uniform_grid, origins, rdir, hit,
         primary_refined["face_id"].reshape(n), aabb_min, aabb_max,
-        grid_dims, cfg, max_batches=max_batches)
+        grid_dims, cfg, max_batches=max_batches, batch=batch)
 
     return dict(t=res["t"].reshape(H, W),
                 face_id=res["face_id"].reshape(H, W),

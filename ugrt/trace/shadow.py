@@ -362,15 +362,18 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
         tri_w = pt.pack_tri_windows_coeff(vertices, faces, light_grid, L,
                                           win=SWIN)
         NW = tri_w.shape[0]
-        # Heavy faces run as a SECOND scheduled sweep over FINE
-        # (64-wide) footprint-box windows — round 5: the dedicated
-        # heavy kernels' Mosaic while-loop structures floored at
-        # ~17-27 ms/step at 1024^2, and appending heavy windows to the
+        # Heavy faces run as a SECOND scheduled sweep over 128-wide
+        # footprint-box windows — round 5: the dedicated heavy
+        # kernels' Mosaic while-loop structures floored at ~17-27
+        # ms/step at 1024^2, and appending heavy windows to the
         # 256-wide normal table cost ~27 ms (4 windows have no spatial
-        # selectivity); 64-face spatially-sorted windows keep each
-        # block's conservative window range at ~1-2, so the scheduled
-        # item count tracks the ~13%-of-grid footprint average.
-        HWIN = 64
+        # selectivity).  Measured on the flagship windowed light grid
+        # (589 heavy faces averaging ~13% of the grid): per-block
+        # window overlap is 3.66 at 128-wide vs 6.52 at 64-wide, and
+        # the overlap sets are exactly their contiguous range cover —
+        # individual faces are too large for finer windows to prune
+        # more, so 128 minimizes items x per-item cost.
+        HWIN = 128
         NWH = 0
         tri_hw = None
         if use_heavy:
@@ -467,11 +470,13 @@ def trace_shadow(vertices, faces, light_camcoords, light_grid: DeviceGrid,
             rects = pt.heavy_window_rects(co, win=HWIN)
             hlo, hhi = pt.heavy_block_window_range(
                 first_cell, last_real, cfg.grid_y, rects)
-            # 3x avg windows/block capacity (measured ~1-2 on the
-            # flagship; the schedule arrays live in 1 MB SMEM, so the
-            # NWH*NB hard bound does not fit) — overflow-guarded.
+            # 5x avg windows/block capacity (measured 3.66/block on
+            # the flagship at HWIN=128; the schedule array lives in
+            # 1 MB SMEM, so the NWH*NB hard bound does not fit) —
+            # overflow-guarded, and overflow ZEROES the heavy mask, so
+            # callers must honor the flag (bench asserts it).
             hw_idx, hw_blk, nh, h_ovf, h_total = pt.make_heavy_windows(
-                hlo, hhi, 3 * NB + 256, NWH)
+                hlo, hhi, 5 * NB + 256, NWH)
             overflow = overflow | h_ovf
             sh_hb = pt.shadow_sweep(tri_hw, rays_b, hw_idx, hw_blk,
                                     h_total, cfg=cfg,
