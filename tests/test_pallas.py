@@ -71,16 +71,25 @@ def test_pallas_heavy_primary_matches_xla(small_cfg, cornell):
     v = jnp.asarray(cornell.vertices)
     f = jnp.asarray(cornell.faces)
 
-    grid = gbuild.build_perspective_grid(v, f, cc, cfg=cfg, capacity=cap,
-                                         heavy_threshold=16)
-    assert int(grid.heavy_count) > 0
-    res_x = tprim.trace_primary(v, f, cc, grid, cfg)
-    res_p = tprim.trace_primary(v, f, cc, grid, cfg, backend="pallas",
-                                interpret=True)
-    np.testing.assert_array_equal(np.asarray(res_p["face_id"]),
-                                  np.asarray(res_x["face_id"]))
-    np.testing.assert_array_equal(np.asarray(res_p["t"]),
-                                  np.asarray(res_x["t"]))
+    import dataclasses
+
+    # Two configs so BOTH heavy-kernel dispatch branches run (see
+    # heavy_primary_sweep): the default capacity leaves the table
+    # mostly dead (looped kernel); capacity 128 makes it mostly live
+    # (fully unrolled kernel).  Both must match XLA bitwise.
+    for hcap in (cfg.heavy_capacity, 128):
+        c = dataclasses.replace(cfg, heavy_capacity=hcap)
+        grid = gbuild.build_perspective_grid(v, f, cc, cfg=c,
+                                             capacity=cap,
+                                             heavy_threshold=16)
+        assert int(grid.heavy_count) > 0
+        res_x = tprim.trace_primary(v, f, cc, grid, c)
+        res_p = tprim.trace_primary(v, f, cc, grid, c, backend="pallas",
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(res_p["face_id"]),
+                                      np.asarray(res_x["face_id"]))
+        np.testing.assert_array_equal(np.asarray(res_p["t"]),
+                                      np.asarray(res_x["t"]))
 
 
 def test_pallas_heavy_shadow_matches_xla(small_cfg, cornell,

@@ -686,6 +686,44 @@ def _heavy_primary_kernel(nlive_ref, tri_ref, rays_ref, t_out, i_out, *,
     jax.lax.fori_loop(0, nlive_ref[0], w_body, 0)
 
 
+def _heavy_primary_kernel_unrolled(nlive_ref, tri_ref, rays_ref,
+                                   t_out, i_out, *, cfg: RenderConfig,
+                                   nwh: int):
+    """Fully UNROLLED dense heavy sweep: every window of the static
+    table, no loops at all, accumulators in local SSA values with a
+    per-window ``w < nlive`` select.
+
+    Measured 15.9 ms vs the looped form's 22.4 ms at flagship scale
+    (8.2k blocks x 7 live of 8 windows, scripts/micro_heavy.py v3,
+    bitwise equal): no fori instances and no per-window output-ref
+    read-modify-write.  The flip side is that MASKED dead windows still
+    do full arithmetic, so heavy_primary_sweep dispatches here only
+    when most of the static table is live (lax.cond on the live count);
+    sweeping a mostly-dead table this way measured ~30 ms/step with 16
+    live faces in a 1024-capacity table.
+    """
+    nlive = nlive_ref[0]
+    for mb in range(MB):
+        rays = tuple(rays_ref[mb, :, c][:, None]
+                     for c in (0, 1, 2, 4, 5))
+        t_acc = jnp.full((128, 1), jnp.float32(_BIG))
+        i_acc = jnp.full((128, 1), jnp.int32(_MAXI))
+        for w in range(nwh):
+            t, reject = _heavy_common(tri_ref, rays, w, cfg)
+            if cfg.quirks.abs_t:
+                t = jnp.abs(t)
+            t = jnp.where(reject | (t <= 0), jnp.float32(_BIG), t)
+            tmin = jnp.min(t, axis=1)[:, None]
+            face_row = tri_ref[14, pl.ds(w * WIN, WIN)][None, :]
+            fcand = jnp.where(t == tmin, face_row, jnp.float32(_BIG))
+            fmin = jnp.min(fcand, axis=1)[:, None]
+            upd = (tmin < t_acc) & (w < nlive)
+            i_acc = jnp.where(upd, fmin.astype(jnp.int32), i_acc)
+            t_acc = jnp.where(upd, tmin, t_acc)
+        t_out[mb] = t_acc
+        i_out[mb] = i_acc
+
+
 def _heavy_call(kernel_fn, heavy_count, tri_windows, rays_rm,
                 out_shapes, interpret: bool):
     """Dense (ray block x live heavy windows) sweep: grid over groups of
@@ -741,11 +779,28 @@ def heavy_primary_sweep(heavy_count, tri_windows, rays_rm, *,
                         cfg: RenderConfig, interpret: bool = False):
     """Per-ray (min t [NB, 128], winner heavy ROW [NB, 128]) over the
     packed heavy table; _BIG / int32-max where none.  rays_rm is
-    RAY-MAJOR [NB, 128, 8] (see _heavy_call)."""
-    return tuple(_heavy_call(
-        functools.partial(_heavy_primary_kernel, cfg=cfg),
-        heavy_count, tri_windows, rays_rm,
-        (jnp.float32, jnp.int32), interpret))
+    RAY-MAJOR [NB, 128, 8] (see _heavy_call).
+
+    Two bitwise-identical kernels, picked at runtime by live density:
+    the fully unrolled form wins when most of the static table is live
+    (the flagship: 7 of 8 windows), the looped form when it is mostly
+    dead (crossover at nlive/nwh ~ 5/8 from the measured 2.0 vs 3.2
+    ms per window-unit costs)."""
+    nwh = tri_windows.shape[1] // WIN
+    n_live = jnp.clip(
+        (heavy_count.astype(jnp.int32) + (WIN - 1)) // WIN, 0, nwh)
+
+    def call(kernel_fn, operands):
+        return tuple(_heavy_call(
+            functools.partial(kernel_fn, cfg=cfg),
+            operands[0], operands[1], operands[2],
+            (jnp.float32, jnp.int32), interpret))
+
+    return jax.lax.cond(
+        n_live * 8 >= nwh * 5,
+        functools.partial(call, _heavy_primary_kernel_unrolled),
+        functools.partial(call, _heavy_primary_kernel),
+        (heavy_count, tri_windows, rays_rm))
 
 
 def _sweep_call(kernel_fn, tri_windows, rays_blocks, win_idx, win_block,
