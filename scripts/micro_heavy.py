@@ -6,15 +6,19 @@ of which ~35 ms is Mosaic while-loop setup (~2 us per fori instance x
 MB=8 instances/step x 1024 steps x 2 kernels) — the math itself is
 ~7 ms.  This script measures variants that restructure the loops:
 
-  cur  — round-4 kernel: per-mb fori over live windows
+  cur  — whatever pallas_tracer.heavy_primary_sweep currently ships
   v1   — ONE fori over windows per grid step; mb unrolled inside the
          body; accumulation through the OUTPUT refs (no carries)
   v2   — window axis as minor grid dimension, dead windows skipped via
          pl.when(w < nlive); output block revisited across w
-  v3   — full static unroll (windows x mb) with pl.when dead-skip
+  v3   — full static unroll (windows x mb), per-window live select
 
-Each at MB in {8, 16, 32}.  Correctness: every variant is checked
-bitwise against the current kernel's output before timing.
+Each at MB in {8, 16, 32} (or pass names/MB values as argv).
+Correctness: every variant is checked bitwise against the current
+kernel's output before timing.  Outcome history: v1 (22.4 ms vs the
+round-4 form's 53.1 here / 25.6 in-step) shipped mid-round-5; v3
+(15.9 ms) then replaced it for live-dense tables, dispatched at
+runtime by live density (see _heavy_primary_kernel_unrolled).
 """
 import sys; sys.path.insert(0, "/root/repo/scripts"); import _tpu  # noqa
 import functools
